@@ -1,0 +1,330 @@
+"""Fixed-shape batched polygon-polygon intersection for TPU.
+
+This module is the TPU-native replacement for the reference's geometry kernel
+(GeometryOps.jl ``GO.intersection`` / ``GO.intersection_points`` used by
+``/root/reference/src/physical_processes/collisions.jl``).  Instead of
+materializing intersection polygons (dynamic shapes), we compute, for each
+pair of padded CCW rings, the *aggregate quantities the physics actually
+needs*, with fully static shapes:
+
+  * total intersection area (for fuse / remove-overlap checks),
+  * per overlap region: area, centroid, number of boundary crossings,
+    the two crossing points (2-crossing case), and the inward-normal sum /
+    length / segment-count of the part of the region boundary lying on the
+    subject polygon P ("P-chain") - which is exactly what the Hopkins
+    contact-force model needs (see collisions.py).
+
+Algorithm (a data-parallel Weiler-Atherton):
+
+  1. All O(V^2) edge-pair proper crossings are computed in one vectorized
+     sweep.  Each crossing stores its point, its position (edge index +
+     parameter) along both rings, and whether the intersection boundary
+     leaves it along P or along Q (sign of the edge cross product).
+  2. Crossings are sorted along each ring to build "next crossing along P"
+     and "next crossing along Q" pointers.
+  3. Each crossing has exactly one outgoing boundary arc (along P if P
+     enters Q there, else along Q).  The resulting successor function is a
+     permutation whose cycles are precisely the overlap regions.
+  4. Per-arc line integrals (shoelace area, centroid moments, length,
+     normal sums) are computed with prefix sums over the ring edges, and
+     accumulated per cycle with pointer-doubling + segment sums.
+
+Everything is O(V^2 + CAP^2) per pair with static shapes, so the whole thing
+vmaps over thousands of candidate pairs and compiles to one XLA program.
+
+Degeneracies (vertex exactly on an edge, collinear overlapping edges) are
+broken by an optional deterministic perturbation of Q.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .polygon import close_ring, point_in_polygon, signed_area
+
+__all__ = ["ClipRegions", "intersect_regions", "intersect_area"]
+
+# Maximum number of boundary crossings tracked per pair. 16 supports up to 8
+# distinct overlap regions, far beyond what floe contacts produce in practice
+# (the reference's C-shape golden test has 4 crossings / 2 regions).
+DEFAULT_CAP = 16
+
+
+class ClipRegions(NamedTuple):
+    """Result of intersect_regions for one pair (or batched leading dims).
+
+    All region arrays have a trailing region-capacity axis of size CAP; only
+    slots where ``valid`` is True contain real regions.
+    """
+
+    total_area: jnp.ndarray  # [] total intersection area
+    area: jnp.ndarray        # [CAP] per-region area
+    centroid: jnp.ndarray    # [CAP, 2] per-region centroid
+    n_cross: jnp.ndarray     # [CAP] number of boundary crossings in region
+    chord_a: jnp.ndarray     # [CAP, 2] first crossing point of region
+    chord_b: jnp.ndarray     # [CAP, 2] second crossing point (m==2 chord)
+    p_norm: jnp.ndarray      # [CAP, 2] inward-normal sum over P-chain
+    p_len: jnp.ndarray       # [CAP] total length of P-chain segments
+    p_cnt: jnp.ndarray       # [CAP] number of P-chain segments
+    valid: jnp.ndarray       # [CAP] bool region validity
+    overflow: jnp.ndarray    # [] bool - more crossings than CAP (unreliable)
+
+
+def _ring_prefix(v, n, V):
+    """Per-edge integral quantities + doubled prefix sums for run queries.
+
+    Returns dict with per-edge arrays [V] (a, b endpoints implied by
+    close_ring) and prefix arrays [2V+1] such that the sum of quantity q over
+    ``cnt`` full edges starting at edge ``e0`` (cyclic, cnt <= n) is
+    ``P[e0+cnt] - P[e0]``.
+    """
+    a, b = close_ring(v, n)
+    cr = a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]
+    eidx = jnp.arange(V)
+    em = eidx < n
+    q_S = jnp.where(em, 0.5 * cr, 0.0)
+    q_MX = jnp.where(em, (a[:, 0] + b[:, 0]) * cr, 0.0)
+    q_MY = jnp.where(em, (a[:, 1] + b[:, 1]) * cr, 0.0)
+    q_LEN = jnp.where(em, jnp.linalg.norm(b - a, axis=-1), 0.0)
+
+    idx2 = jnp.arange(2 * V)
+    nsafe = jnp.maximum(n, 1)
+    src = idx2 % nsafe
+    valid2 = idx2 < 2 * n
+
+    def doubled_prefix(q):
+        q2 = jnp.where(valid2, q[src], 0.0)
+        return jnp.concatenate([jnp.zeros((1,), q.dtype), jnp.cumsum(q2)])
+
+    return {
+        "a": a,
+        "b": b,
+        "P_S": doubled_prefix(q_S),
+        "P_MX": doubled_prefix(q_MX),
+        "P_MY": doubled_prefix(q_MY),
+        "P_LEN": doubled_prefix(q_LEN),
+    }
+
+
+def _seg_quantities(p1, p2):
+    """Integral quantities of one directed segment p1->p2."""
+    cr = p1[..., 0] * p2[..., 1] - p2[..., 0] * p1[..., 1]
+    S = 0.5 * cr
+    MX = (p1[..., 0] + p2[..., 0]) * cr
+    MY = (p1[..., 1] + p2[..., 1]) * cr
+    LEN = jnp.linalg.norm(p2 - p1, axis=-1)
+    return S, MX, MY, LEN
+
+
+def _arc_quantities(ring, n, Xk, ek, Xk2, ek2, fwd_same_edge):
+    """Line integrals over the ring arc from crossing point Xk (on edge ek)
+    forward to crossing point Xk2 (on edge ek2).
+
+    fwd_same_edge: whether both points are on the same edge with Xk2 ahead of
+    Xk (single-segment arc).
+    Returns (S, MX, MY, LEN, CNT).
+    """
+    nsafe = jnp.maximum(n, 1)
+    # single-segment case
+    S1, MX1, MY1, LEN1 = _seg_quantities(Xk, Xk2)
+
+    # multi-segment case
+    b_ek = ring["b"][ek]        # endpoint of edge ek
+    a_ek2 = ring["a"][ek2]      # start vertex of edge ek2
+    cnt_full = (ek2 - ek - 1) % nsafe
+    e0 = (ek + 1) % nsafe
+
+    def run(P):
+        return P[e0 + cnt_full] - P[e0]
+
+    Sp1, MXp1, MYp1, LENp1 = _seg_quantities(Xk, b_ek)
+    Sp2, MXp2, MYp2, LENp2 = _seg_quantities(a_ek2, Xk2)
+    S2 = Sp1 + run(ring["P_S"]) + Sp2
+    MX2 = MXp1 + run(ring["P_MX"]) + MXp2
+    MY2 = MYp1 + run(ring["P_MY"]) + MYp2
+    LEN2 = LENp1 + run(ring["P_LEN"]) + LENp2
+    CNT2 = 2 + cnt_full
+
+    S = jnp.where(fwd_same_edge, S1, S2)
+    MX = jnp.where(fwd_same_edge, MX1, MX2)
+    MY = jnp.where(fwd_same_edge, MY1, MY2)
+    LEN = jnp.where(fwd_same_edge, LEN1, LEN2)
+    CNT = jnp.where(fwd_same_edge, 1, CNT2)
+    return S, MX, MY, LEN, CNT
+
+
+def _next_pointers(key, valid, CAP):
+    """Given sort keys along one ring, build next-crossing pointers.
+
+    Returns nxt [CAP] with nxt[k] = index of the crossing that follows k when
+    walking the ring forward (cyclic among valid crossings); invalid -> k.
+    """
+    big = jnp.inf
+    keys = jnp.where(valid, key, big)
+    order = jnp.argsort(keys)  # valid first, ring order
+    C = jnp.sum(valid.astype(jnp.int32))
+    Csafe = jnp.maximum(C, 1)
+    pos = jnp.zeros((CAP,), jnp.int32).at[order].set(jnp.arange(CAP, dtype=jnp.int32))
+    nxt = order[(pos + 1) % Csafe]
+    return jnp.where(valid, nxt, jnp.arange(CAP))
+
+
+@partial(jax.jit, static_argnames=("CAP",))
+def intersect_regions(pv, pn, qv, qn, CAP: int = DEFAULT_CAP) -> ClipRegions:
+    """Intersection regions of two padded CCW rings (single pair).
+
+    vmap over leading axes for batching. See module docstring.
+    """
+    V = pv.shape[-2]
+    W = qv.shape[-2]
+    dtype = pv.dtype
+
+    pa, pb = close_ring(pv, pn)
+    qa, qb = close_ring(qv, qn)
+    pe_m = jnp.arange(V) < pn
+    qe_m = jnp.arange(W) < qn
+
+    # ---- 1. all proper edge-pair crossings --------------------------------
+    r = (pb - pa)[:, None, :]        # [V,1,2] P edge vectors
+    s = (qb - qa)[None, :, :]        # [1,W,2] Q edge vectors
+    d0 = qa[None, :, :] - pa[:, None, :]  # [V,W,2]
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    denom_safe = jnp.where(denom == 0, 1.0, denom)
+    t = (d0[..., 0] * s[..., 1] - d0[..., 1] * s[..., 0]) / denom_safe
+    u = (d0[..., 0] * r[..., 1] - d0[..., 1] * r[..., 0]) / denom_safe
+    eps = jnp.asarray(1e-12, dtype)
+    proper = (
+        (denom != 0)
+        & (t > eps) & (t < 1 - eps)
+        & (u > eps) & (u < 1 - eps)
+        & pe_m[:, None] & qe_m[None, :]
+    )
+    px = pa[:, None, 0] + t * r[..., 0]
+    py = pa[:, None, 1] + t * r[..., 1]
+    # boundary leaves this crossing along P iff P's edge enters Q's interior:
+    # cross(r, s) < 0  (both rings CCW)
+    followP_all = denom < 0
+
+    # ---- 2. compact to CAP ------------------------------------------------
+    flat = proper.reshape(-1)
+    n_cross_total = jnp.sum(flat.astype(jnp.int32))
+    overflow = n_cross_total > CAP
+    (sel,) = jnp.nonzero(flat, size=CAP, fill_value=V * W)
+    # append a dummy invalid row for the fill index
+    def takef(x, fill=0.0):
+        xf = jnp.concatenate([x.reshape(-1), jnp.asarray([fill], x.dtype)])
+        return xf[sel]
+
+    valid = sel < V * W
+    Xp = jnp.stack([takef(px), takef(py)], axis=-1)     # [CAP,2]
+    ek = takef(jnp.broadcast_to(jnp.arange(V)[:, None], (V, W)).astype(jnp.int32), 0)
+    fj = takef(jnp.broadcast_to(jnp.arange(W)[None, :], (V, W)).astype(jnp.int32), 0)
+    tk = takef(t)
+    uk = takef(u)
+    followP = takef(followP_all, False).astype(bool) & valid
+
+    # ---- 3. next pointers along each ring ---------------------------------
+    nxtP = _next_pointers(ek.astype(dtype) + tk, valid, CAP)
+    nxtQ = _next_pointers(fj.astype(dtype) + uk, valid, CAP)
+
+    # ---- 4. per-crossing outgoing arc integrals ---------------------------
+    ringP = _ring_prefix(pv, pn, V)
+    ringQ = _ring_prefix(qv, qn, W)
+
+    # along-P arc k -> nxtP[k]
+    k2 = nxtP
+    same_fwd_P = (ek[k2] == ek) & (tk[k2] > tk)
+    SP, MXP, MYP, LENP, CNTP = _arc_quantities(
+        ringP, pn, Xp, ek, Xp[k2], ek[k2], same_fwd_P
+    )
+    # along-Q arc k -> nxtQ[k]
+    k3 = nxtQ
+    same_fwd_Q = (fj[k3] == fj) & (uk[k3] > uk)
+    SQ, MXQ, MYQ, LENQ, CNTQ = _arc_quantities(
+        ringQ, qn, Xp, fj, Xp[k3], fj[k3], same_fwd_Q
+    )
+
+    succ = jnp.where(followP, nxtP, nxtQ)
+    succ = jnp.where(valid, succ, jnp.arange(CAP))
+    arcS = jnp.where(valid, jnp.where(followP, SP, SQ), 0.0)
+    arcMX = jnp.where(valid, jnp.where(followP, MXP, MXQ), 0.0)
+    arcMY = jnp.where(valid, jnp.where(followP, MYP, MYQ), 0.0)
+    # P-chain only quantities
+    endpt = jnp.where(followP[:, None], Xp[k2], Xp)
+    darc = endpt - Xp  # displacement of P-arcs (zero for Q-arcs)
+    arcNx = jnp.where(valid & followP, -darc[:, 1], 0.0)
+    arcNy = jnp.where(valid & followP, darc[:, 0], 0.0)
+    arcPL = jnp.where(valid & followP, LENP, 0.0)
+    arcPC = jnp.where(valid & followP, CNTP, 0)
+
+    # ---- 5. cycle identification (pointer doubling, min-index labels) -----
+    lbl = jnp.where(valid, jnp.arange(CAP), CAP - 1 + jnp.zeros((CAP,), jnp.int32))
+    lbl = jnp.arange(CAP)
+    s2 = succ
+    rounds = max(1, (CAP - 1).bit_length())
+    for _ in range(rounds):
+        lbl = jnp.minimum(lbl, lbl[s2])
+        s2 = s2[s2]
+    rep = lbl  # [CAP] min crossing index in each cycle
+
+    seg = jnp.where(valid, rep, CAP)  # invalid -> dumped in extra bucket
+    num_segments = CAP + 1
+
+    def ssum(x, dt=None):
+        return jax.ops.segment_sum(x, seg, num_segments=num_segments)[:CAP]
+
+    reg_S = ssum(arcS)
+    reg_MX = ssum(arcMX)
+    reg_MY = ssum(arcMY)
+    reg_Nx = ssum(arcNx)
+    reg_Ny = ssum(arcNy)
+    reg_PL = ssum(arcPL)
+    reg_PC = ssum(arcPC.astype(jnp.int32))
+    reg_m = ssum(valid.astype(jnp.int32))
+
+    reg_valid = (reg_m >= 2) & (reg_S > 0)
+    reg_area = jnp.where(reg_valid, reg_S, 0.0)
+    denom_c = jnp.where(reg_valid, 6.0 * reg_S, 1.0)
+    reg_cx = jnp.where(reg_valid, reg_MX / denom_c, 0.0)
+    reg_cy = jnp.where(reg_valid, reg_MY / denom_c, 0.0)
+
+    # chord endpoints: region representative crossing and its successor
+    idx = jnp.arange(CAP)
+    chord_a = Xp[idx]
+    chord_b = Xp[succ[idx]]
+
+    total_cross_area = jnp.sum(reg_area)
+
+    # ---- 6. containment fallback (no crossings) ---------------------------
+    no_cross = n_cross_total == 0
+    p0 = pv[0]
+    q0 = qv[0]
+    p_in_q = point_in_polygon(p0, qv, qn)
+    q_in_p = point_in_polygon(q0, pv, pn)
+    areaP = jnp.abs(signed_area(pv, pn))
+    areaQ = jnp.abs(signed_area(qv, qn))
+    contain_area = jnp.where(p_in_q, areaP, jnp.where(q_in_p, areaQ, 0.0))
+    total_area = jnp.where(no_cross, contain_area, total_cross_area)
+
+    return ClipRegions(
+        total_area=total_area,
+        area=reg_area,
+        centroid=jnp.stack([reg_cx, reg_cy], axis=-1),
+        n_cross=reg_m,
+        chord_a=chord_a,
+        chord_b=chord_b,
+        p_norm=jnp.stack([reg_Nx, reg_Ny], axis=-1),
+        p_len=reg_PL,
+        p_cnt=reg_PC,
+        valid=reg_valid,
+        overflow=overflow,
+    )
+
+
+def intersect_area(pv, pn, qv, qn, CAP: int = DEFAULT_CAP):
+    """Total intersection area only (single pair; vmap for batches)."""
+    return intersect_regions(pv, pn, qv, qn, CAP=CAP).total_area
