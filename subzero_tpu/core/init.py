@@ -1,0 +1,231 @@
+"""Floe-field initialization.
+
+Host-side (setup-time) equivalents of the reference's
+``initialize_floe_field`` (floe.jl:321-634):
+
+  * from explicit polygon coordinates (subtracting topography), and
+  * from a target floe count + concentration matrix via Voronoi
+    tessellation with rejection-sampled seeds.
+
+Voronoi cells are built by half-plane clipping against perpendicular
+bisectors (no external tessellation dependency), then intersected with the
+open-water region exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry import host_clip
+from ..settings import FloeSettings
+from .domain import Domain, NORTH, SOUTH, EAST, WEST
+from .floes import FloeState, build_floes
+
+
+def _domain_box(domain: Domain):
+    vals = np.asarray(domain.vals, float)
+    n, s, e, w = vals[NORTH], vals[SOUTH], vals[EAST], vals[WEST]
+    return np.array([[w, s], [e, s], [e, n], [w, n]])
+
+
+def _topo_rings(domain: Domain):
+    rings = []
+    T = domain.topography.count
+    verts = np.asarray(domain.topography.verts, float)
+    nv = np.asarray(domain.topography.nverts)
+    for t in range(T):
+        rings.append(verts[t, : nv[t]])
+    return rings
+
+
+def _subtract_topo(pieces, topo_rings):
+    for tr in topo_rings:
+        nxt = []
+        for p in pieces:
+            nxt.extend(host_clip.difference(p, tr))
+        pieces = nxt
+    return pieces
+
+
+def initialize_floe_field_coords(
+    coords_list,
+    domain: Domain,
+    hmean,
+    dh,
+    floe_settings: FloeSettings = FloeSettings(min_floe_area=0.0),
+    rng=None,
+    **kwargs,
+) -> FloeState:
+    """Floes from explicit polygon coordinates (floe.jl:361-411)."""
+    if rng is None:
+        rng = np.random.default_rng(1)
+    topo = _topo_rings(domain)
+    pieces = []
+    for c in coords_list:
+        c = np.asarray(c, float)
+        if c.ndim == 3:
+            c = c[0]
+        ring = host_clip._clean_ring(c)
+        parts = _subtract_topo([ring], topo)
+        for p in parts:
+            if host_clip.poly_area_np(p) >= floe_settings.min_floe_area:
+                pieces.append(p)
+    return build_floes(pieces, hmean, dh, floe_settings, rng, **kwargs)
+
+
+def voronoi_cells_in_box(seeds, box_lo, box_hi):
+    """Convex Voronoi cells of seeds clipped to an axis-aligned box.
+
+    Built by successive half-plane clipping against perpendicular bisectors
+    - O(k^2) but setup-time only.
+    """
+    k = len(seeds)
+    cells = []
+    for i in range(k):
+        cell = np.array(
+            [
+                [box_lo[0], box_lo[1]],
+                [box_hi[0], box_lo[1]],
+                [box_hi[0], box_hi[1]],
+                [box_lo[0], box_hi[1]],
+            ]
+        )
+        si = seeds[i]
+        for j in range(k):
+            if j == i or len(cell) < 3:
+                continue
+            sj = seeds[j]
+            # keep points closer to si than sj: n.(x - m) <= 0 with
+            # n = sj - si, m = midpoint
+            nvec = sj - si
+            m = 0.5 * (si + sj)
+            cell = _clip_halfplane(cell, nvec, m)
+        if len(cell) >= 3:
+            cells.append(cell)
+    return cells
+
+
+def _clip_halfplane(poly, nvec, m):
+    """Sutherland-Hodgman clip of poly to {x : n.(x-m) <= 0}."""
+    out = []
+    k = len(poly)
+    d = (poly - m) @ nvec
+    for i in range(k):
+        j = (i + 1) % k
+        di, dj = d[i], d[j]
+        if di <= 0:
+            out.append(poly[i])
+        if (di < 0) != (dj < 0) and di != dj:
+            t = di / (di - dj)
+            out.append(poly[i] + t * (poly[j] - poly[i]))
+    return np.asarray(out) if out else np.zeros((0, 2))
+
+
+def generate_voronoi_coords(
+    desired_points: int,
+    scale_fac,
+    trans_vec,
+    domain_rings,
+    rng,
+    max_tries: int = 10,
+):
+    """Rejection-sample seeds inside domain_rings (in the unit square scaled
+    by scale_fac + trans_vec), then Voronoi-tessellate the unit square
+    (floe.jl:445-506)."""
+    total_area = sum(abs(host_clip.poly_area_np(r)) for r in domain_rings)
+    box_area = float(scale_fac[0] * scale_fac[1])
+    area_frac = max(total_area / box_area, 1e-9)
+    npoints = int(np.ceil(desired_points / area_frac))
+    xs, ys = [], []
+    tries = 0
+    while len(xs) < desired_points and tries <= max_tries:
+        x = rng.random(npoints)
+        y = rng.random(npoints)
+        wx = scale_fac[0] * x + trans_vec[0]
+        wy = scale_fac[1] * y + trans_vec[1]
+        for xi_, yi_, wxi, wyi in zip(x, y, wx, wy):
+            if any(host_clip._point_in((wxi, wyi), r) for r in domain_rings):
+                xs.append(xi_)
+                ys.append(yi_)
+        tries += 1
+    xs = xs[:desired_points]
+    ys = ys[:desired_points]
+    if len(xs) <= 1:
+        return []
+    seeds = np.stack([np.asarray(xs), np.asarray(ys)], axis=-1)
+    cells = voronoi_cells_in_box(seeds, np.zeros(2), np.ones(2))
+    out = []
+    for c in cells:
+        scaled = c * np.asarray(scale_fac) + np.asarray(trans_vec)
+        out.append(scaled)
+    return out
+
+
+def initialize_floe_field(
+    nfloes: int,
+    concentrations,
+    domain: Domain,
+    hmean,
+    dh,
+    floe_settings: FloeSettings = FloeSettings(min_floe_area=0.0),
+    rng=None,
+    **kwargs,
+) -> FloeState:
+    """Voronoi floe field with per-cell concentrations (floe.jl:548-634)."""
+    if rng is None:
+        rng = np.random.default_rng(1)
+    conc = np.atleast_2d(np.asarray(concentrations, float))
+    box = _domain_box(domain)
+    topo = _topo_rings(domain)
+    open_water = _subtract_topo([box], topo)
+    open_water_area = sum(host_clip.poly_area_np(p) for p in open_water)
+
+    lo = box.min(0)
+    hi = box.max(0)
+    nrows, ncols = conc.shape
+    rowlen = (hi[1] - lo[1]) / nrows
+    collen = (hi[0] - lo[0]) / ncols
+
+    floes_polys = []
+    for j in range(ncols):
+        for i in range(nrows):
+            c = float(conc[i, j])
+            if c <= 0:
+                continue
+            c = min(c, 1.0)
+            xmin = lo[0] + collen * j
+            ymin = lo[1] + rowlen * i
+            cell = np.array(
+                [
+                    [xmin, ymin],
+                    [xmin + collen, ymin],
+                    [xmin + collen, ymin + rowlen],
+                    [xmin, ymin + rowlen],
+                ]
+            )
+            open_cell = []
+            for ow in open_water:
+                open_cell.extend(host_clip.intersect(cell, ow))
+            open_area = sum(host_clip.poly_area_np(p) for p in open_cell)
+            if open_area <= 0:
+                continue
+            ncells = int(np.ceil(nfloes * open_area / open_water_area / c))
+            cells = generate_voronoi_coords(
+                ncells, [collen, rowlen], [xmin, ymin], open_cell, rng
+            )
+            if not cells:
+                continue
+            order = rng.permutation(len(cells))
+            floes_area = 0.0
+            for idx in order:
+                if floes_area / open_area > c:
+                    break
+                pieces = []
+                for oc in open_cell:
+                    pieces.extend(host_clip.intersect(cells[idx], oc))
+                for p in pieces:
+                    a = host_clip.poly_area_np(p)
+                    if a >= floe_settings.min_floe_area and a > 0:
+                        floes_polys.append(p)
+                        floes_area += a
+    return build_floes(floes_polys, hmean, dh, floe_settings, rng, **kwargs)

@@ -174,14 +174,19 @@ def _next_pointers(key, valid, CAP):
 
 
 @partial(jax.jit, static_argnames=("CAP",))
-def intersect_regions(pv, pn, qv, qn, CAP: int = DEFAULT_CAP) -> ClipRegions:
+def intersect_regions(pv, pn, qv, qn, CAP: int = DEFAULT_CAP, perturb=0.0) -> ClipRegions:
     """Intersection regions of two padded CCW rings (single pair).
 
     vmap over leading axes for batching. See module docstring.
+
+    ``perturb``: magnitude of a deterministic offset applied to Q to break
+    degeneracies (shared vertices, collinear overlapping edges). Pass a value
+    tiny relative to the geometry scale (e.g. 1e-7 * floe radius).
     """
     V = pv.shape[-2]
     W = qv.shape[-2]
     dtype = pv.dtype
+    qv = qv + perturb * jnp.asarray([0.6180339887498949, 1.0], dtype)
 
     pa, pb = close_ring(pv, pn)
     qa, qb = close_ring(qv, qn)
@@ -212,7 +217,9 @@ def intersect_regions(pv, pn, qv, qn, CAP: int = DEFAULT_CAP) -> ClipRegions:
     # ---- 2. compact to CAP ------------------------------------------------
     flat = proper.reshape(-1)
     n_cross_total = jnp.sum(flat.astype(jnp.int32))
-    overflow = n_cross_total > CAP
+    # unreliable if crossings overflow capacity or parity is violated
+    # (odd crossing count signals an unresolved degeneracy)
+    overflow = (n_cross_total > CAP) | (n_cross_total % 2 == 1)
     (sel,) = jnp.nonzero(flat, size=CAP, fill_value=V * W)
     # append a dummy invalid row for the fill index
     def takef(x, fill=0.0):
@@ -262,7 +269,6 @@ def intersect_regions(pv, pn, qv, qn, CAP: int = DEFAULT_CAP) -> ClipRegions:
     arcPC = jnp.where(valid & followP, CNTP, 0)
 
     # ---- 5. cycle identification (pointer doubling, min-index labels) -----
-    lbl = jnp.where(valid, jnp.arange(CAP), CAP - 1 + jnp.zeros((CAP,), jnp.int32))
     lbl = jnp.arange(CAP)
     s2 = succ
     rounds = max(1, (CAP - 1).bit_length())

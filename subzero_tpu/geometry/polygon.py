@@ -59,7 +59,6 @@ def close_ring(v, n):
     """
     V = v.shape[-2]
     idx = jnp.arange(V)
-    nxt = jnp.where(idx + 1 >= n, (idx + 1) % jnp.maximum(n, 1), idx + 1)
     # For i >= n, both endpoints clamp to last valid vertex.
     last = jnp.maximum(n - 1, 0)
     cur = jnp.minimum(idx, last)

@@ -130,10 +130,24 @@ class TestIntersect:
 
     def test_triangle_square(self):
         tri = [[0, 0], [2, 0], [1, 2]]
-        sq = square(0, 0, 1)
+        sq = square(0.1, 0.1, 1)
         v1, n1 = pad_polygon(tri, V)
         v2, n2 = pad_polygon(sq, V)
         res = intersect_regions(v1, n1, v2, n2)
+        mc = mc_overlap_area(tri, sq)
+        assert np.isclose(float(res.total_area), mc, rtol=2e-2)
+
+    def test_degenerate_shared_edge_perturbed(self):
+        # shared vertex + collinear overlapping edges: unresolvable exactly,
+        # flagged as overflow; perturbation resolves it approximately.
+        tri = [[0, 0], [2, 0], [1, 2]]
+        sq = square(0, 0, 1)
+        v1, n1 = pad_polygon(tri, V)
+        v2, n2 = pad_polygon(sq, V)
+        res0 = intersect_regions(v1, n1, v2, n2)
+        assert bool(res0.overflow)  # parity violation detected
+        res = intersect_regions(v1, n1, v2, n2, perturb=1e-9)
+        assert not bool(res.overflow)
         mc = mc_overlap_area(tri, sq)
         assert np.isclose(float(res.total_area), mc, rtol=2e-2)
 
