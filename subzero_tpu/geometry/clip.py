@@ -70,6 +70,7 @@ class ClipRegions(NamedTuple):
     p_norm: jnp.ndarray      # [CAP, 2] inward-normal sum over P-chain
     p_len: jnp.ndarray       # [CAP] total length of P-chain segments
     p_cnt: jnp.ndarray       # [CAP] number of P-chain segments
+    q_cnt: jnp.ndarray       # [CAP] number of Q-chain segments
     valid: jnp.ndarray       # [CAP] bool region validity
     overflow: jnp.ndarray    # [] bool - more crossings than CAP (unreliable)
 
@@ -267,6 +268,7 @@ def intersect_regions(pv, pn, qv, qn, CAP: int = DEFAULT_CAP, perturb=0.0) -> Cl
     arcNy = jnp.where(valid & followP, darc[:, 0], 0.0)
     arcPL = jnp.where(valid & followP, LENP, 0.0)
     arcPC = jnp.where(valid & followP, CNTP, 0)
+    arcQC = jnp.where(valid & ~followP, CNTQ, 0)
 
     # ---- 5. cycle identification (pointer doubling, min-index labels) -----
     lbl = jnp.arange(CAP)
@@ -290,6 +292,7 @@ def intersect_regions(pv, pn, qv, qn, CAP: int = DEFAULT_CAP, perturb=0.0) -> Cl
     reg_Ny = ssum(arcNy)
     reg_PL = ssum(arcPL)
     reg_PC = ssum(arcPC.astype(jnp.int32))
+    reg_QC = ssum(arcQC.astype(jnp.int32))
     reg_m = ssum(valid.astype(jnp.int32))
 
     reg_valid = (reg_m >= 2) & (reg_S > 0)
@@ -326,6 +329,7 @@ def intersect_regions(pv, pn, qv, qn, CAP: int = DEFAULT_CAP, perturb=0.0) -> Cl
         p_norm=jnp.stack([reg_Nx, reg_Ny], axis=-1),
         p_len=reg_PL,
         p_cnt=reg_PC,
+        q_cnt=reg_QC,
         valid=reg_valid,
         overflow=overflow,
     )

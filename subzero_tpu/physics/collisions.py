@@ -1,0 +1,453 @@
+"""Collisions: floe-floe, floe-wall, floe-topography contact forces.
+
+TPU-native redesign of /root/reference/src/physical_processes/collisions.jl.
+Key departures from the reference (same physics, hardware-shaped):
+
+  * **No ghost floes.** Periodic wrap is a *minimum-image shift* carried on
+    each candidate pair: floe j is translated by (±Lx, ±Ly) inside the pair
+    kernel, and its reaction forces are shifted back - exactly reproducing
+    the reference's ghost create/compute/fold-back pipeline
+    (collisions.jl:866-1174, 830-862) with zero data motion.
+  * **Symmetric pairwise forces.** Each unordered candidate pair is computed
+    once; +F is scattered to floe i and -F to floe j by segment-sum, which
+    replaces the reference's serial reaction pass (collisions.jl:799-828)
+    and is order-independent and deterministic.
+  * **One batched pair kernel.** Floes, the four domain walls, and
+    topography elements form a single "Q pool"; all candidate pairs run
+    through the same fixed-shape intersection kernel (geometry/clip.py) and
+    the Hopkins elastic + Coulomb friction force recipe
+    (calc_elastic_forces / calc_normal_force / calc_friction_forces,
+    collisions.jl:30-283).
+  * **Aggregates, not interaction lists.** The growable per-floe
+    ``interactions`` matrices of the reference become segment-summed force,
+    torque, stress-moment, and overlap-area accumulators.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import Constants
+from ..core.domain import (
+    BoundaryKind,
+    Domain,
+    EAST,
+    NORTH,
+    SOUTH,
+    WEST,
+    wall_rect,
+)
+from ..core.floes import FloeState
+from ..geometry.clip import DEFAULT_CAP, intersect_regions
+from ..settings import CollisionSettings
+
+# Q-pool layout: [0, N) floes, [N, N+4) walls (N,S,E,W), [N+4, N+4+T) topo
+WALL_OFFSET = 0  # computed at runtime as N
+
+
+class PairArrays(NamedTuple):
+    qi: jnp.ndarray        # [PC] floe index i (P side)
+    qj: jnp.ndarray        # [PC] Q-pool index
+    shift: jnp.ndarray     # [PC, 2] translation applied to Q (periodic image)
+    valid: jnp.ndarray     # [PC]
+    overflow: jnp.ndarray  # [] bool: more candidates than capacity
+
+
+def _shift_table(domain: Domain, dtype):
+    """Static list of periodic image shifts to test, shape [S, 2]."""
+    Lx = domain.vals[EAST] - domain.vals[WEST]
+    Ly = domain.vals[NORTH] - domain.vals[SOUTH]
+    xs = [0.0]
+    ys = [0.0]
+    if domain.ew_periodic:
+        xs = [0.0, 1.0, -1.0]
+    if domain.ns_periodic:
+        ys = [0.0, 1.0, -1.0]
+    rows = []
+    for ax in xs:
+        for ay in ys:
+            rows.append((ax, ay))
+    mult = jnp.asarray(rows, dtype)  # [S, 2]
+    return mult * jnp.stack([Lx, Ly]).astype(dtype)
+
+
+def find_candidate_pairs(
+    floes: FloeState,
+    domain: Domain,
+    pair_cap: int,
+) -> PairArrays:
+    """Broad phase: bounding-circle tests over all (i<j, shift) combos plus
+    walls and topography (potential_interaction, collisions.jl:705-710)."""
+    N = floes.capacity
+    dtype = floes.verts.dtype
+    c = floes.centroid
+    r = floes.rmax
+    act = floes.active
+
+    shifts = _shift_table(domain, dtype)  # [S, 2]
+    S = shifts.shape[0]
+
+    # floe-floe: [N, N, S]
+    d = c[:, None, None, :] - (c[None, :, None, :] + shifts[None, None, :, :])
+    dist2 = jnp.sum(d * d, axis=-1)
+    rsum = r[:, None] + r[None, :]
+    hit = dist2 < (rsum**2)[:, :, None]
+    iidx = jnp.arange(N)
+    pair_mask = act[:, None, None] & act[None, :, None] & hit
+    # each unordered pair once: i<j for zero shift; for nonzero shifts allow
+    # both orderings only via i<j as well (the shifted-j configuration covers
+    # j shifted either way since shifts include +/-)
+    pair_mask = pair_mask & (iidx[:, None, None] < iidx[None, :, None])
+
+    ff_flat = pair_mask.reshape(-1)
+
+    # floe-wall: [N, 4]; only COLLISION/MOVING walls produce force pairs
+    vals = domain.vals
+    beyond = jnp.stack(
+        [
+            c[:, 1] + r > vals[NORTH],
+            c[:, 1] - r < vals[SOUTH],
+            c[:, 0] + r > vals[EAST],
+            c[:, 0] - r < vals[WEST],
+        ],
+        axis=1,
+    )
+    wall_force = jnp.asarray(
+        [
+            domain.kinds[w] in (BoundaryKind.COLLISION, BoundaryKind.MOVING)
+            for w in range(4)
+        ]
+    )
+    fw = act[:, None] & beyond & wall_force[None, :]
+    fw_flat = fw.reshape(-1)
+
+    # floe-topo: [N, T]
+    T = domain.topography.count
+    if T > 0:
+        tc = domain.topography.centroid
+        tr = domain.topography.rmax
+        dt_ = c[:, None, :] - tc[None, :, :]
+        ft = act[:, None] & (
+            jnp.sum(dt_ * dt_, axis=-1) < (r[:, None] + tr[None, :]) ** 2
+        )
+        ft_flat = ft.reshape(-1)
+    else:
+        ft_flat = jnp.zeros((0,), bool)
+
+    all_flat = jnp.concatenate([ff_flat, fw_flat, ft_flat])
+    total = all_flat.shape[0]
+    n_hits = jnp.sum(all_flat.astype(jnp.int32))
+    overflow = n_hits > pair_cap
+    (sel,) = jnp.nonzero(all_flat, size=pair_cap, fill_value=total)
+    valid = sel < total
+
+    # decode flat indices back to (i, qj, shift)
+    ff_total = N * N * S
+    fw_total = 4 * N
+    is_ff = sel < ff_total
+    is_fw = (sel >= ff_total) & (sel < ff_total + fw_total)
+    sel_ff = jnp.where(is_ff, sel, 0)
+    i_ff = sel_ff // (N * S)
+    j_ff = (sel_ff // S) % N
+    s_ff = sel_ff % S
+    sel_fw = jnp.where(is_fw, sel - ff_total, 0)
+    i_fw = sel_fw // 4
+    w_fw = sel_fw % 4
+    sel_ft = jnp.where(is_ff | is_fw, 0, jnp.minimum(sel - ff_total - fw_total, max(T * N - 1, 0)))
+    i_ft = sel_ft // max(T, 1)
+    t_ft = sel_ft % max(T, 1)
+
+    qi = jnp.where(is_ff, i_ff, jnp.where(is_fw, i_fw, i_ft)).astype(jnp.int32)
+    qj = jnp.where(
+        is_ff, j_ff, jnp.where(is_fw, N + w_fw, N + 4 + t_ft)
+    ).astype(jnp.int32)
+    shift = jnp.where(is_ff[:, None], shifts[s_ff], 0.0)
+    return PairArrays(qi=qi, qj=qj, shift=shift, valid=valid, overflow=overflow)
+
+
+class CollisionResult(NamedTuple):
+    floes: FloeState
+    stress_instant: jnp.ndarray  # [N, 2, 2] this-step stress (calc_stress!)
+    overflow: jnp.ndarray        # pair-capacity or crossing-capacity overflow
+
+
+def timestep_collisions(
+    floes: FloeState,
+    domain: Domain,
+    consts: Constants,
+    dt: float,
+    collision_settings: CollisionSettings,
+    pair_cap: int,
+    clip_cap: int = DEFAULT_CAP,
+) -> CollisionResult:
+    """timestep_collisions! (collisions.jl:734-864), fully batched."""
+    N = floes.capacity
+    V = floes.max_verts
+    dtype = floes.verts.dtype
+    act = floes.active
+
+    pairs = find_candidate_pairs(floes, domain, pair_cap)
+    PC = pair_cap
+
+    # ---------------- open-boundary removal (collisions.jl:427-441) --------
+    remove = floes.remove
+    vals = domain.vals
+    vx = floes.verts[..., 0]
+    vy = floes.verts[..., 1]
+    vmask = jnp.arange(V)[None, :] < floes.nverts[:, None]
+    big = jnp.asarray(1e30, dtype)
+    for w, cmp in (
+        (NORTH, jnp.max(jnp.where(vmask, vy, -big), axis=1) > vals[NORTH]),
+        (SOUTH, jnp.min(jnp.where(vmask, vy, big), axis=1) < vals[SOUTH]),
+        (EAST, jnp.max(jnp.where(vmask, vx, -big), axis=1) > vals[EAST]),
+        (WEST, jnp.min(jnp.where(vmask, vx, big), axis=1) < vals[WEST]),
+    ):
+        if domain.kinds[w] == BoundaryKind.OPEN:
+            remove = remove | (act & cmp)
+
+    # ---------------- build Q pool -----------------------------------------
+    T = domain.topography.count
+    wall_vs = []
+    wall_ns = []
+    for w in range(4):
+        wv, wn = wall_rect(domain, w, V, dtype)
+        wall_vs.append(wv)
+        wall_ns.append(wn)
+    q_verts = jnp.concatenate(
+        [floes.verts, jnp.stack(wall_vs), domain.topography.verts.astype(dtype)], axis=0
+    )
+    q_n = jnp.concatenate(
+        [floes.nverts, jnp.stack(wall_ns), domain.topography.nverts], axis=0
+    )
+    zeros4 = jnp.zeros((4,), dtype)
+    q_u = jnp.concatenate(
+        [floes.u, domain.velocities[:, 0].astype(dtype), jnp.zeros((T,), dtype)]
+    )
+    q_v = jnp.concatenate(
+        [floes.v, domain.velocities[:, 1].astype(dtype), jnp.zeros((T,), dtype)]
+    )
+    q_xi = jnp.concatenate([floes.xi, zeros4, jnp.zeros((T,), dtype)])
+    wall_cent = jnp.zeros((4, 2), dtype)  # unused (xi = 0 for walls)
+    q_cent = jnp.concatenate(
+        [floes.centroid, wall_cent, domain.topography.centroid.astype(dtype)], axis=0
+    )
+    q_height = jnp.concatenate([floes.height, jnp.ones((4 + T,), dtype)])
+    q_area = jnp.concatenate([floes.area, jnp.ones((4 + T,), dtype)])
+    q_is_floe = jnp.arange(N + 4 + T) < N
+    q_wall_id = jnp.arange(N + 4 + T) - N  # 0..3 for walls, else out of range
+
+    # ---------------- pair kernel ------------------------------------------
+    i = pairs.qi
+    j = pairs.qj
+    pv = floes.verts[i]
+    pn = floes.nverts[i]
+    qv = q_verts[j] + pairs.shift[:, None, :]
+    qn = q_n[j]
+
+    # deterministic degeneracy-breaking perturbation, scaled to the pair
+    eps_rel = 1e-9 if dtype == jnp.float64 else 2e-6
+    scale = floes.rmax[i] + jnp.where(q_is_floe[j], floes.rmax[jnp.minimum(j, N - 1)], floes.rmax[i])
+    perturb = (eps_rel * scale)[:, None, None] * jnp.asarray(
+        [0.6180339887, 1.0], dtype
+    )
+
+    regions = jax.vmap(
+        lambda a, b, c, d, p: intersect_regions(a, b, c + p, d, CAP=clip_cap)
+    )(pv, pn, qv, qn, perturb)
+
+    R = clip_cap
+    pvalid = pairs.valid
+    total_area = jnp.where(pvalid, regions.total_area, 0.0)
+
+    # ------- fuse / remove marking (collisions.jl:364-368, 522-525) --------
+    area_i = floes.area[i]
+    area_j = jnp.where(q_is_floe[j], q_area[j], jnp.inf)
+    overlap_frac = jnp.maximum(total_area / area_i, total_area / area_j)
+    is_ff_pair = q_is_floe[j] & pvalid
+    fuse_pair = is_ff_pair & (overlap_frac > collision_settings.floe_floe_max_overlap) & (total_area > 0)
+    # domain pairs: remove if max single-region overlap fraction too big
+    reg_area_masked = jnp.where(regions.valid, regions.area, 0.0)
+    max_reg = jnp.max(reg_area_masked, axis=1)
+    dom_remove_pair = (
+        pvalid & ~q_is_floe[j] & (max_reg / area_i > collision_settings.floe_domain_max_overlap)
+    )
+
+    # ------- force factor (collisions.jl:371-379, 528) ---------------------
+    hi = floes.height[i]
+    ri = jnp.sqrt(area_i)
+    hj = q_height[j]
+    rj = jnp.sqrt(jnp.where(q_is_floe[j], q_area[j], 1.0))
+    ff_big = consts.E * jnp.minimum(hi, hj) / jnp.minimum(ri, rj)
+    ff_std = consts.E * (hi * hj) / (hi * rj + hj * ri)
+    ff_floe = jnp.where((ri > 1e5) | (rj > 1e5), ff_big, ff_std)
+    ff_dom = consts.E * hi / ri
+    force_factor = jnp.where(q_is_floe[j], ff_floe, ff_dom)
+
+    # ------- per-region elastic normal forces ------------------------------
+    # region min-area filter (calc_elastic_forces, collisions.jl:158-169)
+    n1 = pn
+    n2 = qn
+    min_area = jnp.minimum(n1, n2).astype(dtype) * 100.0 / 1.75
+    reg_ok = (
+        regions.valid
+        & (regions.area >= min_area[:, None])
+        & pvalid[:, None]
+        & ~fuse_pair[:, None]
+        & ~dom_remove_pair[:, None]
+        & (total_area > 0)[:, None]
+    )
+
+    chord = regions.chord_b - regions.chord_a
+    chord_len = jnp.linalg.norm(chord, axis=-1)
+    two_pts = regions.n_cross == 2
+    # 2-crossing case: direction perpendicular to the chord, sign chosen to
+    # reduce the overlap = aligned with the P-chain inward-normal sum
+    perp = jnp.stack([-chord[..., 1], chord[..., 0]], axis=-1)
+    sgn = jnp.sign(jnp.sum(perp * regions.p_norm, axis=-1))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    dir2 = perp * sgn[..., None] / jnp.maximum(chord_len, 1e-30)[..., None]
+    dl2 = chord_len
+    # many-crossing case (_many_intersect_normal_force!, collisions.jl:78-119)
+    pn_norm = jnp.linalg.norm(regions.p_norm, axis=-1)
+    dirM = regions.p_norm / jnp.maximum(pn_norm, 1e-30)[..., None]
+    p_cnt = regions.p_cnt
+    dlM = regions.p_len / jnp.maximum(p_cnt, 1).astype(dtype)
+    # reference condition 0 < n_pts < npoints(region)-1: require a Q chain too
+    manyok = (p_cnt > 0) & (regions.q_cnt > 0)
+
+    dl = jnp.where(two_pts, dl2, jnp.where(manyok, dlM, 0.0))
+    fdir = jnp.where(
+        two_pts[..., None], dir2, jnp.where(manyok[..., None], dirM, 0.0)
+    )
+    # overlap-too-small gate (collisions.jl:51, 112)
+    force_on = reg_ok & (dl > 0.1)
+    normal_force = (
+        fdir * (regions.area * force_factor[:, None])[..., None]
+    ) * force_on[..., None]
+
+    # ------- wall normal-direction correction (boundaries.jl:37-148) -------
+    fp = regions.centroid  # [PC, R, 2] force application points
+    is_wall = (q_wall_id[j] >= 0) & (q_wall_id[j] < 4)
+    wid = jnp.clip(q_wall_id[j], 0, 3)
+    wall_val = vals[wid]
+    # N: fp.y >= val -> zero x force; S: fp.y <= val -> zero x
+    # E: fp.x >= val -> zero y;       W: fp.x <= val -> zero y
+    zx = (
+        ((wid == NORTH)[:, None] & (fp[..., 1] >= wall_val[:, None]))
+        | ((wid == SOUTH)[:, None] & (fp[..., 1] <= wall_val[:, None]))
+    )
+    zy = (
+        ((wid == EAST)[:, None] & (fp[..., 0] >= wall_val[:, None]))
+        | ((wid == WEST)[:, None] & (fp[..., 0] <= wall_val[:, None]))
+    )
+    nx = jnp.where(is_wall[:, None] & zx, 0.0, normal_force[..., 0])
+    ny = jnp.where(is_wall[:, None] & zy, 0.0, normal_force[..., 1])
+    normal_force = jnp.stack([nx, ny], axis=-1)
+
+    # ------- friction (calc_friction_forces, collisions.jl:243-283) --------
+    G = consts.E / (2.0 * (1.0 + consts.nu))
+    nnorm = jnp.linalg.norm(normal_force, axis=-1)
+    ci = floes.centroid[i]
+    ui = floes.u[i][:, None] + floes.xi[i][:, None] * -(fp[..., 1] - ci[:, None, 1])
+    vi_ = floes.v[i][:, None] + floes.xi[i][:, None] * (fp[..., 0] - ci[:, None, 0])
+    cjs = q_cent[j] + pairs.shift  # shifted centroid of Q
+    ujp = q_u[j][:, None] + q_xi[j][:, None] * -(fp[..., 1] - cjs[:, None, 1])
+    vjp = q_v[j][:, None] + q_xi[j][:, None] * (fp[..., 0] - cjs[:, None, 0])
+    udiff = ui - ujp
+    vdiff = vi_ - vjp
+    vnorm = jnp.sqrt(udiff**2 + vdiff**2)
+    vn_safe = jnp.where(vnorm > 0, vnorm, 1.0)
+    xdir = jnp.where(vnorm > 0, udiff / vn_safe, 0.0)
+    ydir = jnp.where(vnorm > 0, vdiff / vn_safe, 0.0)
+    dot_dir = xdir * udiff + ydir * vdiff
+    xfric = G * dl * dt * nnorm * xdir * -dot_dir
+    yfric = G * dl * dt * nnorm * ydir * -dot_dir
+    fric_norm = jnp.sqrt(xfric**2 + yfric**2)
+    over = fric_norm > consts.mu * nnorm
+    xfric = jnp.where(over, -consts.mu * nnorm * xdir, xfric)
+    yfric = jnp.where(over, -consts.mu * nnorm * ydir, yfric)
+    friction = jnp.stack([xfric, yfric], axis=-1) * force_on[..., None]
+
+    force = normal_force + friction  # [PC, R, 2]
+    # interactions are only recorded when force != 0 (add_interactions!,
+    # collisions.jl:288)
+    nonzero = force_on & (jnp.sum(jnp.abs(force), axis=-1) > 0)
+    overlap_rec = jnp.where(nonzero, regions.area, 0.0)
+
+    # ---------------- accumulation (segment sums) --------------------------
+    seg_i = jnp.where(pvalid, i, N).astype(jnp.int32)
+    jf = jnp.where(is_ff_pair, j, N).astype(jnp.int32)  # only floe reactions
+
+    def acc_i(x):
+        return jax.ops.segment_sum(x, seg_i, num_segments=N + 1)[:N]
+
+    def acc_j(x):
+        return jax.ops.segment_sum(x, jf, num_segments=N + 1)[:N]
+
+    fsum = jnp.sum(force, axis=1)  # [PC, 2]
+    col_force = acc_i(fsum) - acc_j(fsum)
+
+    # torques about each side's centroid (calc_torque!, collisions.jl:673-686)
+    ri_ = fp - ci[:, None, :]
+    trq_i = ri_[..., 0] * force[..., 1] - ri_[..., 1] * force[..., 0]
+    fp_j = fp - pairs.shift[:, None, :]  # force point in j's unshifted frame
+    cj0 = q_cent[j]
+    rj_ = fp_j - cj0[:, None, :]
+    trq_j = rj_[..., 0] * (-force[..., 1]) - rj_[..., 1] * (-force[..., 0])
+    col_trq = acc_i(jnp.sum(trq_i, axis=1)) + acc_j(jnp.sum(trq_j, axis=1))
+
+    # stress moments (calc_stress!, update_floe.jl:392-414):
+    # s11 += rx*Fx, s12 += 0.5*(ry*Fx + rx*Fy), s22 += ry*Fy
+    def stress_moments(rvec, f):
+        s11 = jnp.sum(rvec[..., 0] * f[..., 0], axis=1)
+        s12 = 0.5 * jnp.sum(
+            rvec[..., 1] * f[..., 0] + rvec[..., 0] * f[..., 1], axis=1
+        )
+        s22 = jnp.sum(rvec[..., 1] * f[..., 1], axis=1)
+        return jnp.stack(
+            [jnp.stack([s11, s12], -1), jnp.stack([s12, s22], -1)], axis=-2
+        )
+
+    sm = acc_i(stress_moments(ri_, force)) + acc_j(stress_moments(rj_, -force))
+    ah = floes.area * floes.height
+    ah_safe = jnp.where(ah > 0, ah, 1.0)
+    stress_instant = sm / ah_safe[:, None, None]
+
+    over_i = acc_i(jnp.sum(overlap_rec, axis=1))
+    over_j = acc_j(jnp.sum(overlap_rec, axis=1))
+    overarea = over_i + over_j
+
+    # fuse / remove scatters
+    fuse_i = acc_i(fuse_pair.astype(jnp.int32)) > 0
+    fuse_j = acc_j(fuse_pair.astype(jnp.int32)) > 0
+    fuse_any = fuse_i | fuse_j
+    # record one fuse partner (max pool index wins)
+    fw_i = jax.ops.segment_max(
+        jnp.where(fuse_pair, j, -1), seg_i, num_segments=N + 1
+    )[:N]
+    fw_j = jax.ops.segment_max(
+        jnp.where(fuse_pair, i, -1), jf, num_segments=N + 1
+    )[:N]
+    fuse_with = jnp.maximum(
+        jnp.where(fuse_any, jnp.maximum(fw_i, fw_j), -1), -1
+    ).astype(jnp.int32)
+    remove = remove | (acc_i(dom_remove_pair.astype(jnp.int32)) > 0)
+
+    new_floes = floes._replace(
+        collision_force=jnp.where(act[:, None], col_force, 0.0),
+        collision_trq=jnp.where(act, col_trq, 0.0),
+        overarea=jnp.where(act, overarea, 0.0),
+        remove=remove,
+        fuse_with=jnp.where(act, fuse_with, -1),
+    )
+    overflow = pairs.overflow | jnp.any(
+        jnp.where(pvalid, regions.overflow, False)
+    )
+    return CollisionResult(
+        floes=new_floes,
+        stress_instant=jnp.where(act[:, None, None], stress_instant, 0.0),
+        overflow=overflow,
+    )

@@ -1,0 +1,440 @@
+"""Ice <-> ocean/atmosphere coupling.
+
+Vectorized port of /root/reference/src/physical_processes/coupling.jl:
+
+  * one-way (ocean/atmos -> ice): sub-floe quadrature points are rotated to
+    world frame, ocean/atmos fields are bilinearly interpolated at them
+    (periodic seam wrapping replaces the reference's knot-window machinery,
+    find_interp_knots, coupling.jl:660-797, with identical values), and
+    quadratic drag + Coriolis + pressure-gradient stresses are averaged into
+    per-floe forces/torques (calc_one_way_coupling!, coupling.jl:1486-1589).
+
+  * two-way (ice/atmos -> ocean): per-point ocean stresses are segment-summed
+    into (floe, line-centered-cell) buckets, floe areas inside covered cells
+    are computed with the exact clip kernel, and per-cell ocean stress /
+    sea-ice fraction / heatflux factor are assembled
+    (calc_two_way_coupling!, coupling.jl:1617-1680).
+
+The scatter structures CellFloes/CellStresses of the reference become dense
+segment-sums - no per-cell lists.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import Constants
+from ..core.domain import Domain, BoundaryKind, NORTH, SOUTH, EAST, WEST
+from ..core.fields import AtmosState, OceanState
+from ..core.floes import FloeState
+from ..core.grid import RegRectilinearGrid
+from ..geometry.clip import intersect_regions
+from ..settings import CouplingSettings, FloeSettings
+
+
+def _bilinear(field, gx, gy, grid: RegRectilinearGrid, ew_periodic, ns_periodic):
+    """Bilinear interpolation of a grid-point field [Nx+1, Ny+1] at world
+    coords (gx, gy); periodic directions wrap (grid line 0 == grid line N)."""
+    fx = (gx - grid.x0) / grid.dx
+    fy = (gy - grid.y0) / grid.dy
+    if ew_periodic:
+        fx = jnp.mod(fx, grid.Nx)
+    else:
+        fx = jnp.clip(fx, 0.0, grid.Nx)
+    if ns_periodic:
+        fy = jnp.mod(fy, grid.Ny)
+    else:
+        fy = jnp.clip(fy, 0.0, grid.Ny)
+    ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, grid.Nx - 1)
+    iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, grid.Ny - 1)
+    wx = fx - ix
+    wy = fy - iy
+    ix1 = ix + 1
+    iy1 = iy + 1
+    f00 = field[ix, iy]
+    f10 = field[ix1, iy]
+    f01 = field[ix, iy1]
+    f11 = field[ix1, iy1]
+    return (
+        f00 * (1 - wx) * (1 - wy)
+        + f10 * wx * (1 - wy)
+        + f01 * (1 - wx) * wy
+        + f11 * wx * wy
+    )
+
+
+class OneWayResult(NamedTuple):
+    floes: FloeState
+    # per-point data retained for two-way coupling
+    pt_x: jnp.ndarray        # [N, P] world x of sub-floe points
+    pt_y: jnp.ndarray
+    pt_mask: jnp.ndarray     # [N, P] in-bounds & active & < nsub
+    pt_tau_x_ocn: jnp.ndarray  # [N, P] ocean-on-ice stress at point
+    pt_tau_y_ocn: jnp.ndarray
+    pt_cell: jnp.ndarray     # [N, P] flattened line-centered cell index
+
+
+def calc_one_way_coupling(
+    floes: FloeState,
+    grid: RegRectilinearGrid,
+    domain: Domain,
+    ocean: OceanState,
+    atmos: AtmosState,
+    consts: Constants,
+) -> OneWayResult:
+    N, P = floes.sub_x.shape
+    act = floes.active
+
+    # world-frame sub-floe points (calc_subfloe_values!, coupling.jl:627-657)
+    ca = jnp.cos(floes.alpha)[:, None]
+    sa = jnp.sin(floes.alpha)[:, None]
+    px = ca * floes.sub_x - sa * floes.sub_y + floes.centroid[:, 0:1]
+    py = sa * floes.sub_x + ca * floes.sub_y + floes.centroid[:, 1:2]
+
+    pmask = jnp.arange(P)[None, :] < floes.nsub[:, None]
+    # in_bounds (coupling.jl:494-597): off-grid only allowed through
+    # periodic directions
+    if not domain.ew_periodic:
+        pmask = pmask & (px >= grid.x0) & (px <= grid.xf)
+    if not domain.ns_periodic:
+        pmask = pmask & (py >= grid.y0) & (py <= grid.yf)
+    pmask = pmask & act[:, None]
+
+    npoints = jnp.sum(pmask, axis=1)
+    np_safe = jnp.maximum(npoints, 1)
+
+    interp = lambda f: _bilinear(f, px, py, grid, domain.ew_periodic, domain.ns_periodic)
+    uatm = interp(atmos.u)
+    vatm = interp(atmos.v)
+    uocn = interp(ocean.u)
+    vocn = interp(ocean.v)
+    hflx = interp(ocean.hflx_factor)
+
+    # rigid-body point velocities
+    xc = px - floes.centroid[:, 0:1]
+    yc = py - floes.centroid[:, 1:2]
+    upoint = floes.u[:, None] - floes.xi[:, None] * yc
+    vpoint = floes.v[:, None] + floes.xi[:, None] * xc
+
+    # atmosphere drag (calc_atmosphere_forcing, coupling.jl:1212-1232)
+    du_ai = uatm - upoint
+    dv_ai = vatm - vpoint
+    nrm_a = jnp.sqrt(du_ai**2 + dv_ai**2)
+    tx_atm = consts.rho_a * consts.Cd_ia * nrm_a * du_ai
+    ty_atm = consts.rho_a * consts.Cd_ia * nrm_a * dv_ai
+
+    # ocean drag + pressure gradient (calc_ocean_forcing!, coupling.jl:1277-1299)
+    area_safe = jnp.where(floes.area > 0, floes.area, 1.0)
+    ma_ratio = (floes.mass / area_safe)[:, None]
+    du_oi = uocn - upoint
+    dv_oi = vocn - vpoint
+    nrm_o = jnp.sqrt(du_oi**2 + dv_oi**2)
+    ct, st = jnp.cos(consts.turn_angle), jnp.sin(consts.turn_angle)
+    tx_ocn = consts.rho_o * consts.Cd_io * nrm_o * (ct * du_oi - st * dv_oi)
+    ty_ocn = consts.rho_o * consts.Cd_io * nrm_o * (st * du_oi + ct * dv_oi)
+    tx_pgrad = -ma_ratio * consts.f * vocn
+    ty_pgrad = ma_ratio * consts.f * uocn
+
+    tx = tx_atm + tx_pgrad + tx_ocn
+    ty = ty_atm + ty_pgrad + ty_ocn
+    trq = (-tx * yc + ty * xc)  # (-tx sin(th) + ty cos(th)) * rad
+
+    msum = lambda x: jnp.sum(jnp.where(pmask, x, 0.0), axis=1)
+    # Coriolis contribution: constant per point (coupling.jl:1522-1525)
+    cor_x = ma_ratio[:, 0] * consts.f * floes.v
+    cor_y = -(ma_ratio[:, 0] * consts.f * floes.u)
+    tot_tx = msum(tx) + npoints * cor_x
+    tot_ty = msum(ty) + npoints * cor_y
+    tot_trq = msum(trq)
+    tot_hflx = msum(hflx)
+
+    fx_oa = tot_tx / np_safe * floes.area
+    fy_oa = tot_ty / np_safe * floes.area
+    trq_oa = tot_trq / np_safe * floes.area
+    hflx_factor = tot_hflx / np_safe
+
+    # floes with zero in-bounds points are marked remove (coupling.jl:1507-1508)
+    remove = floes.remove | (act & (npoints == 0))
+
+    new_floes = floes._replace(
+        fx_oa=jnp.where(act, fx_oa, floes.fx_oa),
+        fy_oa=jnp.where(act, fy_oa, floes.fy_oa),
+        trq_oa=jnp.where(act, trq_oa, floes.trq_oa),
+        hflx_factor=jnp.where(act, hflx_factor, floes.hflx_factor),
+        remove=remove,
+    )
+
+    # line-centered cell index per point, with periodic shift
+    # (find_center_cell_index + shift_cell_idx, coupling.jl:466-470, 1154-1178)
+    cxi = jnp.floor((px - grid.x0) / grid.dx + 0.5).astype(jnp.int32)
+    cyi = jnp.floor((py - grid.y0) / grid.dy + 0.5).astype(jnp.int32)
+    if domain.ew_periodic:
+        cxi = jnp.mod(cxi, grid.Nx)
+    else:
+        cxi = jnp.clip(cxi, 0, grid.Nx)
+    if domain.ns_periodic:
+        cyi = jnp.mod(cyi, grid.Ny)
+    else:
+        cyi = jnp.clip(cyi, 0, grid.Ny)
+    cell = cxi * (grid.Ny + 1) + cyi
+
+    return OneWayResult(
+        floes=new_floes,
+        pt_x=px,
+        pt_y=py,
+        pt_mask=pmask,
+        pt_tau_x_ocn=tx_ocn,
+        pt_tau_y_ocn=ty_ocn,
+        pt_cell=cell,
+    )
+
+
+def calc_two_way_coupling(
+    one_way: OneWayResult,
+    grid: RegRectilinearGrid,
+    domain: Domain,
+    ocean: OceanState,
+    atmos: AtmosState,
+    consts: Constants,
+    floe_settings: FloeSettings,
+    dt: float,
+    cell_cap: int,
+) -> OceanState:
+    """Ice/atmosphere effect on the ocean (coupling.jl:1617-1680).
+
+    cell_cap: static max number of line-centered cells a floe can cover in
+    each direction (chosen at simulation build from max floe radius).
+    """
+    floes = one_way.floes
+    N, P = one_way.pt_x.shape
+    NCx, NCy = grid.Nx + 1, grid.Ny + 1
+    C = NCx * NCy
+
+    # per-(floe, cell) sums of -tau_ocn and point counts
+    key = jnp.where(
+        one_way.pt_mask,
+        jnp.arange(N)[:, None] * C + one_way.pt_cell,
+        N * C,
+    ).reshape(-1)
+    seg = lambda x: jax.ops.segment_sum(
+        x.reshape(-1), key, num_segments=N * C + 1
+    )[: N * C]
+    fc_tx = seg(jnp.where(one_way.pt_mask, -one_way.pt_tau_x_ocn, 0.0))
+    fc_ty = seg(jnp.where(one_way.pt_mask, -one_way.pt_tau_y_ocn, 0.0))
+    fc_np = seg(one_way.pt_mask.astype(one_way.pt_x.dtype))
+
+    # candidate covered cells per floe: a cell_cap x cell_cap window of
+    # line-centered cells around the floe centroid
+    cx0 = jnp.floor((floes.centroid[:, 0] - grid.x0) / grid.dx + 0.5).astype(jnp.int32)
+    cy0 = jnp.floor((floes.centroid[:, 1] - grid.y0) / grid.dy + 0.5).astype(jnp.int32)
+    half = cell_cap // 2
+    offs = jnp.arange(cell_cap) - half
+    wx = cx0[:, None] + offs[None, :]      # [N, cap]
+    wy = cy0[:, None] + offs[None, :]
+    # shift (periodic) or clamp-invalid (non-periodic)
+    if domain.ew_periodic:
+        wxs = jnp.mod(wx, grid.Nx)
+        wx_ok = jnp.ones_like(wx, bool)
+    else:
+        wxs = jnp.clip(wx, 0, grid.Nx)
+        wx_ok = (wx >= 0) & (wx <= grid.Nx)
+    if domain.ns_periodic:
+        wys = jnp.mod(wy, grid.Ny)
+        wy_ok = jnp.ones_like(wy, bool)
+    else:
+        wys = jnp.clip(wy, 0, grid.Ny)
+        wy_ok = (wy >= 0) & (wy <= grid.Ny)
+
+    # only cells within the floe's bounding circle need clipping
+    cell_x = grid.x0 + wx * grid.dx        # unshifted cell center x
+    cell_y = grid.y0 + wy * grid.dy
+    rcell = 0.5 * jnp.sqrt(grid.dx**2 + grid.dy**2)
+    near_x = jnp.abs(cell_x - floes.centroid[:, 0:1]) <= floes.rmax[:, None] + rcell
+    near_y = jnp.abs(cell_y - floes.centroid[:, 1:2]) <= floes.rmax[:, None] + rcell
+
+    pair_ok = (
+        floes.active[:, None, None]
+        & (wx_ok & near_x)[:, :, None]
+        & (wy_ok & near_y)[:, None, :]
+    )  # [N, cap, cap]
+
+    # cell polygon (line-centered, trimmed at non-periodic boundaries:
+    # center_cell_coords + check_cell_bounds, coupling.jl:931-1140)
+    def cell_rect(ix_u, iy_u):
+        # unshifted indices -> world rect, then trim
+        xmin = (ix_u - 0.5) * grid.dx + grid.x0
+        xmax = xmin + grid.dx
+        ymin = (iy_u - 0.5) * grid.dy + grid.y0
+        ymax = ymin + grid.dy
+        if not domain.ew_periodic:
+            xmin = jnp.clip(xmin, grid.x0, grid.xf)
+            xmax = jnp.clip(xmax, grid.x0, grid.xf)
+        if not domain.ns_periodic:
+            ymin = jnp.clip(ymin, grid.y0, grid.yf)
+            ymax = jnp.clip(ymax, grid.y0, grid.yf)
+        return xmin, xmax, ymin, ymax
+
+    V = floes.max_verts
+    dtype = floes.verts.dtype
+
+    # flatten pairs and clip floe against each cell rect via S-H (the cell is
+    # convex, so successive half-plane clipping is exact for area)
+    ix_u = jnp.broadcast_to(wx[:, :, None], (N, cell_cap, cell_cap))
+    iy_u = jnp.broadcast_to(wy[:, None, :], (N, cell_cap, cell_cap))
+    xmin, xmax, ymin, ymax = cell_rect(ix_u, iy_u)
+
+    area_in_cell = _clip_area_to_rects(
+        floes.verts, floes.nverts, xmin, xmax, ymin, ymax, pair_ok
+    )  # [N, cap, cap]
+
+    # gather per-(floe, shifted cell) stress sums
+    ixs = jnp.broadcast_to(wxs[:, :, None], (N, cell_cap, cell_cap))
+    iys = jnp.broadcast_to(wys[:, None, :], (N, cell_cap, cell_cap))
+    cell_flat = ixs * NCy + iys
+    pair_key = jnp.arange(N)[:, None, None] * C + cell_flat
+    tx_pair = fc_tx[pair_key]
+    ty_pair = fc_ty[pair_key]
+    np_pair = fc_np[pair_key]
+    np_pair_safe = jnp.where(np_pair > 0, np_pair, 1.0)
+
+    w_area = jnp.where(pair_ok & (area_in_cell > 0), area_in_cell, 0.0)
+    tau_x_cell = jax.ops.segment_sum(
+        (tx_pair / np_pair_safe * w_area).reshape(-1),
+        cell_flat.reshape(-1),
+        num_segments=C,
+    )
+    tau_y_cell = jax.ops.segment_sum(
+        (ty_pair / np_pair_safe * w_area).reshape(-1),
+        cell_flat.reshape(-1),
+        num_segments=C,
+    )
+    ice_area_cell = jax.ops.segment_sum(
+        w_area.reshape(-1), cell_flat.reshape(-1), num_segments=C
+    )
+
+    tau_x = jnp.where(ice_area_cell > 0, tau_x_cell / jnp.where(ice_area_cell > 0, ice_area_cell, 1.0), 0.0)
+    tau_y = jnp.where(ice_area_cell > 0, tau_y_cell / jnp.where(ice_area_cell > 0, ice_area_cell, 1.0), 0.0)
+    cell_area = grid.dx * grid.dy
+    si_frac = (ice_area_cell / cell_area).reshape(NCx, NCy)
+    tau_x = tau_x.reshape(NCx, NCy)
+    tau_y = tau_y.reshape(NCx, NCy)
+
+    # atmosphere-on-open-water drag (coupling.jl:1669-1674)
+    du_ao = atmos.u - ocean.u
+    dv_ao = atmos.v - ocean.v
+    nrm = jnp.sqrt(du_ao**2 + dv_ao**2)
+    ocn_frac = 1.0 - si_frac
+    tau_x = tau_x + consts.rho_a * consts.Cd_ao * ocn_frac * nrm * du_ao
+    tau_y = tau_y + consts.rho_a * consts.Cd_ao * ocn_frac * nrm * dv_ao
+
+    # heatflux factor (coupling.jl:1676-1677)
+    hflx = dt * consts.k / (floe_settings.rho_i * consts.L) * (ocean.temp - atmos.temp)
+
+    return ocean._replace(
+        tau_x=tau_x.astype(ocean.tau_x.dtype),
+        tau_y=tau_y.astype(ocean.tau_y.dtype),
+        si_frac=si_frac.astype(ocean.si_frac.dtype),
+        hflx_factor=hflx.astype(ocean.hflx_factor.dtype),
+    )
+
+
+def _clip_area_to_rects(verts, nverts, xmin, xmax, ymin, ymax, ok):
+    """Area of each floe polygon inside each axis-aligned rect.
+
+    verts [N,V,2], nverts [N]; rect bounds and ok mask are [N, a, b].
+    Successive Sutherland-Hodgman half-plane clipping (exact area; the output
+    ring may contain degenerate bridges for non-convex floes, which do not
+    affect the area integral).
+    """
+    N, V, _ = verts.shape
+    a, b = xmin.shape[1], xmin.shape[2]
+
+    def clip_halfplane_area(pts, cnt, sign_axis, bound, last):
+        """One S-H clip step on padded ring pts [V2,2] against
+        sign_axis * coord <= sign_axis * bound. Returns new ring + count, or
+        on the last clip, the signed area directly."""
+        raise NotImplementedError
+
+    # Instead of a generic loop, clip against 4 half-planes with a fixed
+    # output capacity of V + 4 vertices.
+    V2 = V + 4
+
+    def one(pv, pn, x0_, x1_, y0_, y1_):
+        ring = jnp.concatenate([pv, jnp.broadcast_to(pv[-1:], (V2 - V, 2))], axis=0)
+        cnt = pn
+
+        def clip(ring, cnt, nx, ny, c):
+            # keep nx*x + ny*y <= c
+            idx = jnp.arange(V2)
+            valid = idx < cnt
+            last = jnp.maximum(cnt - 1, 0)
+            nxt = jnp.where(idx == cnt - 1, 0, jnp.minimum(idx + 1, last))
+            p1 = ring
+            p2 = ring[nxt]
+            d1 = nx * p1[:, 0] + ny * p1[:, 1] - c
+            d2 = nx * p2[:, 0] + ny * p2[:, 1] - c
+            keep1 = valid & (d1 <= 0)
+            cross = valid & ((d1 < 0) != (d2 < 0))
+            t = d1 / jnp.where(d1 == d2, 1.0, d1 - d2)
+            pint = p1 + t[:, None] * (p2 - p1)
+            # output: for each input vertex emit up to 2 points
+            out_pts = jnp.stack([p1, pint], axis=1).reshape(-1, 2)  # [2*V2, 2]
+            emit = jnp.stack([keep1, cross], axis=1).reshape(-1)
+            # compact via sort by (not emit, original order)
+            order = jnp.argsort(~emit, stable=True)
+            out_pts = out_pts[order][:V2]
+            emit_sorted = emit[order][:V2]
+            new_cnt = jnp.sum(emit.astype(jnp.int32))
+            # pad tail with last valid point
+            lastp = out_pts[jnp.maximum(new_cnt - 1, 0)]
+            out_pts = jnp.where(emit_sorted[:, None], out_pts, lastp)
+            return out_pts, new_cnt
+
+        ring, cnt = clip(ring, cnt, 1.0, 0.0, x1_)    # x <= xmax
+        ring, cnt = clip(ring, cnt, -1.0, 0.0, -x0_)  # x >= xmin
+        ring, cnt = clip(ring, cnt, 0.0, 1.0, y1_)    # y <= ymax
+        ring, cnt = clip(ring, cnt, 0.0, -1.0, -y0_)  # y >= ymin
+        # shoelace area
+        idx = jnp.arange(V2)
+        valid = idx < cnt
+        last = jnp.maximum(cnt - 1, 0)
+        nxt = jnp.where(idx == cnt - 1, 0, jnp.minimum(idx + 1, last))
+        p1 = ring
+        p2 = ring[nxt]
+        cr = p1[:, 0] * p2[:, 1] - p2[:, 0] * p1[:, 1]
+        return 0.5 * jnp.sum(jnp.where(valid & (cnt >= 3), cr, 0.0))
+
+    f = jax.vmap(
+        jax.vmap(
+            jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0)),
+            in_axes=(None, None, 0, 0, 0, 0),
+        ),
+        in_axes=(0, 0, 0, 0, 0, 0),
+    )
+    area = f(verts, nverts, xmin, xmax, ymin, ymax)
+    return jnp.where(ok, jnp.abs(area), 0.0)
+
+
+def timestep_coupling(
+    floes: FloeState,
+    grid: RegRectilinearGrid,
+    domain: Domain,
+    ocean: OceanState,
+    atmos: AtmosState,
+    consts: Constants,
+    coupling_settings: CouplingSettings,
+    floe_settings: FloeSettings,
+    dt: float,
+    cell_cap: int = 16,
+):
+    """timestep_coupling! (coupling.jl:1705-1738)."""
+    ow = calc_one_way_coupling(floes, grid, domain, ocean, atmos, consts)
+    if coupling_settings.two_way_coupling_on:
+        ocean = calc_two_way_coupling(
+            ow, grid, domain, ocean, atmos, consts, floe_settings, dt, cell_cap
+        )
+    return ow.floes, ocean

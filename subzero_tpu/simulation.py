@@ -1,0 +1,163 @@
+"""Simulation driver.
+
+Mirrors the reference ``Simulation`` + ``run!`` + ``timestep_sim!``
+(/root/reference/src/simulation_components/simulation.jl): the per-step
+process order is identical (collisions -> ridge/raft -> coupling ->
+integration -> fracture -> welding -> simplification), but each process is a
+batched pure function over the floe pool and the whole step is one jitted
+XLA program.  Process cadences (every-N-steps scheduling) are resolved with
+``lax.cond`` so a single compiled step serves every timestep.
+
+Floe creation/destruction (fracture, fusing, welding) occurs at low cadence;
+those steps recompact the pool.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import Constants
+from .core.domain import Domain
+from .core.model import Model
+from .physics import collisions as _collisions
+from .physics import coupling as _coupling
+from .physics import update_floe as _update_floe
+from .settings import (
+    CollisionSettings,
+    CouplingSettings,
+    FloeSettings,
+    FractureSettings,
+    RidgeRaftSettings,
+    SimplificationSettings,
+    WeldSettings,
+)
+
+
+@dataclasses.dataclass
+class Simulation:
+    model: Model
+    consts: Constants = Constants()
+    dt: int = 10
+    n_dt: int = 7500
+    verbose: bool = False
+    name: str = "sim"
+    seed: int = 0
+    floe_settings: FloeSettings = FloeSettings()
+    coupling_settings: CouplingSettings = CouplingSettings()
+    collision_settings: CollisionSettings = CollisionSettings()
+    fracture_settings: FractureSettings = FractureSettings()
+    simp_settings: SimplificationSettings = SimplificationSettings()
+    ridgeraft_settings: RidgeRaftSettings = RidgeRaftSettings()
+    weld_settings: WeldSettings = WeldSettings()
+    writers: Any = None
+    # capacities (static shapes)
+    pair_cap: Optional[int] = None
+    cell_cap: Optional[int] = None
+    clip_cap: int = 16
+
+    def __post_init__(self):
+        N = self.model.floes.capacity
+        if self.pair_cap is None:
+            self.pair_cap = max(8 * N, 256)
+        if self.cell_cap is None:
+            # enough line-centered cells to cover the largest floe
+            rmax = float(jnp.max(self.model.floes.rmax))
+            g = self.model.grid
+            cap = int(2 * np.ceil(1.5 * rmax / min(g.dx, g.dy)) + 3)
+            self.cell_cap = min(cap, max(g.Nx, g.Ny) + 1)
+
+
+def build_step(sim: Simulation) -> Callable:
+    """Compile one simulation step: (floes, ocean, domain, tstep) -> same.
+
+    The returned function is jitted once; tstep is a traced scalar so
+    process cadences use lax.cond.
+    """
+    grid = sim.model.grid
+    atmos = sim.model.atmos
+    consts = sim.consts
+    dt = float(sim.dt)
+    fs = sim.floe_settings
+    cps = sim.coupling_settings
+    cls = sim.collision_settings
+
+    def step(floes, ocean, domain: Domain, tstep):
+        stress_instant = jnp.zeros_like(floes.stress_accum)
+        overflow = jnp.asarray(False)
+
+        # --- collisions (simulation.jl:108-117) ---------------------------
+        if cls.collisions_on:
+            res = _collisions.timestep_collisions(
+                floes, domain, consts, dt, cls, sim.pair_cap, sim.clip_cap
+            )
+            floes = res.floes
+            stress_instant = res.stress_instant
+            overflow = overflow | res.overflow
+        # moving boundaries advance after collisions (collisions.jl:797)
+        domain = domain.update_boundaries(dt)
+
+        # --- coupling (simulation.jl:151-161) -----------------------------
+        if cps.coupling_on:
+            def do_coupling(args):
+                floes_, ocean_ = args
+                return _coupling.timestep_coupling(
+                    floes_, grid, domain, ocean_, atmos, consts, cps, fs, dt,
+                    sim.cell_cap,
+                )
+
+            floes, ocean = jax.lax.cond(
+                jnp.mod(tstep, cps.dt) == 0,
+                do_coupling,
+                lambda args: args,
+                (floes, ocean),
+            )
+
+        # --- integrate (simulation.jl:165-170) ----------------------------
+        floes = _update_floe.timestep_floe_properties(
+            floes, dt, fs, stress_instant
+        )
+        floes = _update_floe.wrap_periodic(floes, domain)
+        return floes, ocean, domain, overflow
+
+    return jax.jit(step)
+
+
+def run(sim: Simulation, start_tstep: int = 0, callback=None):
+    """run! (simulation.jl:287-297): step the simulation n_dt times.
+
+    ``callback(tstep, floes, ocean, domain)`` is invoked before each step
+    (mirroring write_data!'s position in timestep_sim!, simulation.jl:105)
+    whenever it returns True for wanting data; used by output writers.
+    """
+    step = build_step(sim)
+    floes = sim.model.floes
+    ocean = sim.model.ocean
+    domain = sim.model.domain
+    tstep = start_tstep
+    n_overflow = 0
+    while tstep <= start_tstep + sim.n_dt:
+        if sim.verbose and tstep % 50 == 0:
+            print(f"{tstep} timesteps")
+        if callback is not None:
+            callback(tstep, floes, ocean, domain)
+        floes, ocean, domain, overflow = step(
+            floes, ocean, domain, jnp.asarray(tstep)
+        )
+        if bool(overflow):
+            n_overflow += 1
+        tstep += 1
+    if n_overflow:
+        import warnings
+
+        warnings.warn(
+            f"{n_overflow} steps exceeded pair/crossing capacity; results "
+            "may be inaccurate. Increase pair_cap/clip_cap."
+        )
+    sim.model = sim.model.replace(floes=floes, ocean=ocean, domain=domain)
+    return sim

