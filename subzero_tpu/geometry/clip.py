@@ -295,7 +295,13 @@ def intersect_regions(pv, pn, qv, qn, CAP: int = DEFAULT_CAP, perturb=0.0) -> Cl
     reg_QC = ssum(arcQC.astype(jnp.int32))
     reg_m = ssum(valid.astype(jnp.int32))
 
-    reg_valid = (reg_m >= 2) & (reg_S > 0)
+    # sanity: a real overlap region can never exceed either input's area;
+    # degenerate tracing (unbroken shared-edge configurations) can produce
+    # phantom cycles, which this clamp discards
+    areaP_s = jnp.abs(signed_area(pv, pn))
+    areaQ_s = jnp.abs(signed_area(qv, qn))
+    max_reasonable = jnp.minimum(areaP_s, areaQ_s) * (1 + 1e-6)
+    reg_valid = (reg_m >= 2) & (reg_S > 0) & (reg_S <= max_reasonable)
     reg_area = jnp.where(reg_valid, reg_S, 0.0)
     denom_c = jnp.where(reg_valid, 6.0 * reg_S, 1.0)
     reg_cx = jnp.where(reg_valid, reg_MX / denom_c, 0.0)
@@ -338,3 +344,46 @@ def intersect_regions(pv, pn, qv, qn, CAP: int = DEFAULT_CAP, perturb=0.0) -> Cl
 def intersect_area(pv, pn, qv, qn, CAP: int = DEFAULT_CAP):
     """Total intersection area only (single pair; vmap for batches)."""
     return intersect_regions(pv, pn, qv, qn, CAP=CAP).total_area
+
+
+def count_crossings(pv, pn, qv, qn, perturb=0.0):
+    """Cheap stage-1 narrow-phase filter: number of proper boundary
+    crossings between two padded rings, plus the containment intersection
+    area for the zero-crossing case.
+
+    Returns (count, containment_area).  Pairs with count == 0 and
+    containment_area == 0 are disjoint; pairs with count > 0 need the full
+    region machinery (intersect_regions).  Elementwise only - no sorts,
+    gathers, or scans - so it runs fast over large candidate batches.
+    """
+    dtype = pv.dtype
+    qv = qv + perturb * jnp.asarray([0.6180339887498949, 1.0], dtype)
+    V = pv.shape[-2]
+    W = qv.shape[-2]
+    pa, pb = close_ring(pv, pn)
+    qa, qb = close_ring(qv, qn)
+    pe_m = jnp.arange(V) < pn
+    qe_m = jnp.arange(W) < qn
+    r = (pb - pa)[:, None, :]
+    s = (qb - qa)[None, :, :]
+    d0 = qa[None, :, :] - pa[:, None, :]
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    denom_safe = jnp.where(denom == 0, 1.0, denom)
+    t = (d0[..., 0] * s[..., 1] - d0[..., 1] * s[..., 0]) / denom_safe
+    u = (d0[..., 0] * r[..., 1] - d0[..., 1] * r[..., 0]) / denom_safe
+    eps = jnp.asarray(1e-12, dtype)
+    proper = (
+        (denom != 0)
+        & (t > eps) & (t < 1 - eps)
+        & (u > eps) & (u < 1 - eps)
+        & pe_m[:, None] & qe_m[None, :]
+    )
+    count = jnp.sum(proper.astype(jnp.int32))
+    p_in_q = point_in_polygon(pv[0], qv, qn)
+    q_in_p = point_in_polygon(qv[0], pv, pn)
+    areaP = jnp.abs(signed_area(pv, pn))
+    areaQ = jnp.abs(signed_area(qv, qn))
+    contain = jnp.where(
+        count > 0, 0.0, jnp.where(p_in_q, areaP, jnp.where(q_in_p, areaQ, 0.0))
+    )
+    return count, contain

@@ -41,7 +41,7 @@ from ..core.domain import (
     wall_rect,
 )
 from ..core.floes import FloeState
-from ..geometry.clip import DEFAULT_CAP, intersect_regions
+from ..geometry.clip import DEFAULT_CAP, count_crossings, intersect_regions
 from ..settings import CollisionSettings
 
 # Q-pool layout: [0, N) floes, [N, N+4) walls (N,S,E,W), [N+4, N+4+T) topo
@@ -56,53 +56,54 @@ class PairArrays(NamedTuple):
     overflow: jnp.ndarray  # [] bool: more candidates than capacity
 
 
-def _shift_table(domain: Domain, dtype):
-    """Static list of periodic image shifts to test, shape [S, 2]."""
-    Lx = domain.vals[EAST] - domain.vals[WEST]
-    Ly = domain.vals[NORTH] - domain.vals[SOUTH]
-    xs = [0.0]
-    ys = [0.0]
-    if domain.ew_periodic:
-        xs = [0.0, 1.0, -1.0]
-    if domain.ns_periodic:
-        ys = [0.0, 1.0, -1.0]
-    rows = []
-    for ax in xs:
-        for ay in ys:
-            rows.append((ax, ay))
-    mult = jnp.asarray(rows, dtype)  # [S, 2]
-    return mult * jnp.stack([Lx, Ly]).astype(dtype)
-
-
 def find_candidate_pairs(
     floes: FloeState,
     domain: Domain,
     pair_cap: int,
 ) -> PairArrays:
-    """Broad phase: bounding-circle tests over all (i<j, shift) combos plus
-    walls and topography (potential_interaction, collisions.jl:705-710)."""
+    """Broad phase: bounding-circle tests over all i<j pairs plus walls and
+    topography (potential_interaction, collisions.jl:705-710).
+
+    Periodic wrap uses the minimum-image convention: the fold that brings
+    floe j closest to floe i determines the single periodic image tested,
+    and its shift vector is carried on the pair.  (Valid while every floe is
+    smaller than half the domain, which the reference's ghost machinery also
+    implicitly assumes for correctness of its one-ghost-per-direction copy.)
+    """
     N = floes.capacity
     dtype = floes.verts.dtype
     c = floes.centroid
     r = floes.rmax
     act = floes.active
 
-    shifts = _shift_table(domain, dtype)  # [S, 2]
-    S = shifts.shape[0]
+    Lx = domain.vals[EAST] - domain.vals[WEST]
+    Ly = domain.vals[NORTH] - domain.vals[SOUTH]
 
-    # floe-floe: [N, N, S]
-    d = c[:, None, None, :] - (c[None, :, None, :] + shifts[None, None, :, :])
-    dist2 = jnp.sum(d * d, axis=-1)
+    # floe-floe: [N, N] with min-image fold
+    dx = c[:, None, 0] - c[None, :, 0]
+    dy = c[:, None, 1] - c[None, :, 1]
+    sx = jnp.zeros_like(dx)
+    sy = jnp.zeros_like(dy)
+    if domain.ew_periodic:
+        fold = jnp.abs(dx) > Lx / 2
+        sx = jnp.where(fold, jnp.sign(dx) * Lx, 0.0)
+        dx = dx - sx
+    if domain.ns_periodic:
+        fold = jnp.abs(dy) > Ly / 2
+        sy = jnp.where(fold, jnp.sign(dy) * Ly, 0.0)
+        dy = dy - sy
+    dist2 = dx * dx + dy * dy
     rsum = r[:, None] + r[None, :]
-    hit = dist2 < (rsum**2)[:, :, None]
     iidx = jnp.arange(N)
-    pair_mask = act[:, None, None] & act[None, :, None] & hit
-    # each unordered pair once: i<j for zero shift; for nonzero shifts allow
-    # both orderings only via i<j as well (the shifted-j configuration covers
-    # j shifted either way since shifts include +/-)
-    pair_mask = pair_mask & (iidx[:, None, None] < iidx[None, :, None])
+    pair_mask = (
+        act[:, None]
+        & act[None, :]
+        & (dist2 < rsum**2)
+        & (iidx[:, None] < iidx[None, :])
+    )
 
     ff_flat = pair_mask.reshape(-1)
+    ff_shift = jnp.stack([sx, sy], axis=-1).reshape(-1, 2)  # shift applied to j
 
     # floe-wall: [N, 4]; only COLLISION/MOVING walls produce force pairs
     vals = domain.vals
@@ -145,14 +146,13 @@ def find_candidate_pairs(
     valid = sel < total
 
     # decode flat indices back to (i, qj, shift)
-    ff_total = N * N * S
+    ff_total = N * N
     fw_total = 4 * N
     is_ff = sel < ff_total
     is_fw = (sel >= ff_total) & (sel < ff_total + fw_total)
     sel_ff = jnp.where(is_ff, sel, 0)
-    i_ff = sel_ff // (N * S)
-    j_ff = (sel_ff // S) % N
-    s_ff = sel_ff % S
+    i_ff = sel_ff // N
+    j_ff = sel_ff % N
     sel_fw = jnp.where(is_fw, sel - ff_total, 0)
     i_fw = sel_fw // 4
     w_fw = sel_fw % 4
@@ -164,7 +164,7 @@ def find_candidate_pairs(
     qj = jnp.where(
         is_ff, j_ff, jnp.where(is_fw, N + w_fw, N + 4 + t_ft)
     ).astype(jnp.int32)
-    shift = jnp.where(is_ff[:, None], shifts[s_ff], 0.0)
+    shift = jnp.where(is_ff[:, None], ff_shift[sel_ff], 0.0)
     return PairArrays(qi=qi, qj=qj, shift=shift, valid=valid, overflow=overflow)
 
 
@@ -239,18 +239,48 @@ def timestep_collisions(
     q_is_floe = jnp.arange(N + 4 + T) < N
     q_wall_id = jnp.arange(N + 4 + T) - N  # 0..3 for walls, else out of range
 
-    # ---------------- pair kernel ------------------------------------------
-    i = pairs.qi
-    j = pairs.qj
-    pv = floes.verts[i]
-    pn = floes.nverts[i]
-    qv = q_verts[j] + pairs.shift[:, None, :]
-    qn = q_n[j]
+    # ---------------- stage 1: crossing-count prefilter --------------------
+    # cheap elementwise pass over ALL candidate pairs; only pairs whose
+    # boundaries actually cross go through the heavy region kernel
+    i0 = pairs.qi
+    j0 = pairs.qj
+    pvalid0 = pairs.valid
 
     # deterministic degeneracy-breaking perturbation, scaled to the pair
     eps_rel = 1e-9 if dtype == jnp.float64 else 2e-6
-    scale = floes.rmax[i] + jnp.where(q_is_floe[j], floes.rmax[jnp.minimum(j, N - 1)], floes.rmax[i])
-    perturb = (eps_rel * scale)[:, None, None] * jnp.asarray(
+    scale0 = floes.rmax[i0] + jnp.where(
+        q_is_floe[j0], floes.rmax[jnp.minimum(j0, N - 1)], floes.rmax[i0]
+    )
+    perturb0 = eps_rel * scale0
+
+    cnt0, contain0 = jax.vmap(
+        lambda a, b, c, d, p: count_crossings(a, b, c, d, p)
+    )(
+        floes.verts[i0],
+        floes.nverts[i0],
+        q_verts[j0] + pairs.shift[:, None, :],
+        q_n[j0],
+        perturb0,
+    )
+    cnt0 = jnp.where(pvalid0, cnt0, 0)
+    contain0 = jnp.where(pvalid0, contain0, 0.0)
+
+    contact_cap = max(pair_cap // 4, 64)
+    is_contact = cnt0 > 0
+    n_contacts = jnp.sum(is_contact.astype(jnp.int32))
+    (csel,) = jnp.nonzero(is_contact, size=contact_cap, fill_value=pair_cap)
+    cvalid = csel < pair_cap
+    csafe = jnp.minimum(csel, pair_cap - 1)
+
+    # ---------------- stage 2: region kernel on contact pairs --------------
+    i = i0[csafe]
+    j = j0[csafe]
+    cshift = pairs.shift[csafe]
+    pv = floes.verts[i]
+    pn = floes.nverts[i]
+    qv = q_verts[j] + cshift[:, None, :]
+    qn = q_n[j]
+    perturb = (perturb0[csafe])[:, None, None] * jnp.asarray(
         [0.6180339887, 1.0], dtype
     )
 
@@ -259,23 +289,41 @@ def timestep_collisions(
     )(pv, pn, qv, qn, perturb)
 
     R = clip_cap
-    pvalid = pairs.valid
+    pvalid = cvalid
     total_area = jnp.where(pvalid, regions.total_area, 0.0)
-
-    # ------- fuse / remove marking (collisions.jl:364-368, 522-525) --------
-    area_i = floes.area[i]
-    area_j = jnp.where(q_is_floe[j], q_area[j], jnp.inf)
-    overlap_frac = jnp.maximum(total_area / area_i, total_area / area_j)
-    is_ff_pair = q_is_floe[j] & pvalid
-    fuse_pair = is_ff_pair & (overlap_frac > collision_settings.floe_floe_max_overlap) & (total_area > 0)
-    # domain pairs: remove if max single-region overlap fraction too big
-    reg_area_masked = jnp.where(regions.valid, regions.area, 0.0)
-    max_reg = jnp.max(reg_area_masked, axis=1)
-    dom_remove_pair = (
-        pvalid & ~q_is_floe[j] & (max_reg / area_i > collision_settings.floe_domain_max_overlap)
+    # total intersection area for every candidate pair (containment included)
+    total_area0 = contain0 + jnp.zeros_like(contain0).at[csafe].add(
+        jnp.where(cvalid, total_area, 0.0)
     )
 
+    # ------- fuse / remove marking (collisions.jl:364-368, 522-525) --------
+    area_i0 = floes.area[i0]
+    area_j0 = jnp.where(q_is_floe[j0], q_area[j0], jnp.inf)
+    overlap_frac0 = jnp.maximum(total_area0 / area_i0, total_area0 / area_j0)
+    is_ff_pair0 = q_is_floe[j0] & pvalid0
+    fuse_pair0 = (
+        is_ff_pair0
+        & (overlap_frac0 > collision_settings.floe_floe_max_overlap)
+        & (total_area0 > 0)
+    )
+    # domain pairs: remove if max single-region overlap fraction too big
+    reg_area_masked = jnp.where(regions.valid, regions.area, 0.0)
+    max_reg = jnp.max(reg_area_masked, axis=1)  # [CC]
+    max_reg0 = jnp.zeros_like(contain0).at[csafe].add(
+        jnp.where(cvalid, max_reg, 0.0)
+    )
+    # containment against a wall counts as a full-floe region
+    max_reg0 = jnp.maximum(max_reg0, jnp.where(~q_is_floe[j0], contain0, 0.0))
+    dom_remove_pair0 = (
+        pvalid0
+        & ~q_is_floe[j0]
+        & (max_reg0 / area_i0 > collision_settings.floe_domain_max_overlap)
+    )
+    fuse_pair = fuse_pair0[csafe] & cvalid
+    dom_remove_pair = dom_remove_pair0[csafe] & cvalid
+
     # ------- force factor (collisions.jl:371-379, 528) ---------------------
+    area_i = floes.area[i]
     hi = floes.height[i]
     ri = jnp.sqrt(area_i)
     hj = q_height[j]
@@ -353,7 +401,7 @@ def timestep_collisions(
     ci = floes.centroid[i]
     ui = floes.u[i][:, None] + floes.xi[i][:, None] * -(fp[..., 1] - ci[:, None, 1])
     vi_ = floes.v[i][:, None] + floes.xi[i][:, None] * (fp[..., 0] - ci[:, None, 0])
-    cjs = q_cent[j] + pairs.shift  # shifted centroid of Q
+    cjs = q_cent[j] + cshift  # shifted centroid of Q
     ujp = q_u[j][:, None] + q_xi[j][:, None] * -(fp[..., 1] - cjs[:, None, 1])
     vjp = q_v[j][:, None] + q_xi[j][:, None] * (fp[..., 0] - cjs[:, None, 0])
     udiff = ui - ujp
@@ -378,6 +426,7 @@ def timestep_collisions(
     overlap_rec = jnp.where(nonzero, regions.area, 0.0)
 
     # ---------------- accumulation (segment sums) --------------------------
+    is_ff_pair = q_is_floe[j] & cvalid
     seg_i = jnp.where(pvalid, i, N).astype(jnp.int32)
     jf = jnp.where(is_ff_pair, j, N).astype(jnp.int32)  # only floe reactions
 
@@ -393,7 +442,7 @@ def timestep_collisions(
     # torques about each side's centroid (calc_torque!, collisions.jl:673-686)
     ri_ = fp - ci[:, None, :]
     trq_i = ri_[..., 0] * force[..., 1] - ri_[..., 1] * force[..., 0]
-    fp_j = fp - pairs.shift[:, None, :]  # force point in j's unshifted frame
+    fp_j = fp - cshift[:, None, :]  # force point in j's unshifted frame
     cj0 = q_cent[j]
     rj_ = fp_j - cj0[:, None, :]
     trq_j = rj_[..., 0] * (-force[..., 1]) - rj_[..., 1] * (-force[..., 0])
@@ -420,21 +469,31 @@ def timestep_collisions(
     over_j = acc_j(jnp.sum(overlap_rec, axis=1))
     overarea = over_i + over_j
 
-    # fuse / remove scatters
-    fuse_i = acc_i(fuse_pair.astype(jnp.int32)) > 0
-    fuse_j = acc_j(fuse_pair.astype(jnp.int32)) > 0
+    # fuse / remove scatters - over the FULL candidate list so containment
+    # pairs (no boundary crossings) are included
+    seg_i0 = jnp.where(pvalid0, i0, N).astype(jnp.int32)
+    jf0 = jnp.where(is_ff_pair0, j0, N).astype(jnp.int32)
+
+    def acc_i0(x):
+        return jax.ops.segment_sum(x, seg_i0, num_segments=N + 1)[:N]
+
+    def acc_j0(x):
+        return jax.ops.segment_sum(x, jf0, num_segments=N + 1)[:N]
+
+    fuse_i = acc_i0(fuse_pair0.astype(jnp.int32)) > 0
+    fuse_j = acc_j0(fuse_pair0.astype(jnp.int32)) > 0
     fuse_any = fuse_i | fuse_j
     # record one fuse partner (max pool index wins)
     fw_i = jax.ops.segment_max(
-        jnp.where(fuse_pair, j, -1), seg_i, num_segments=N + 1
+        jnp.where(fuse_pair0, j0, -1), seg_i0, num_segments=N + 1
     )[:N]
     fw_j = jax.ops.segment_max(
-        jnp.where(fuse_pair, i, -1), jf, num_segments=N + 1
+        jnp.where(fuse_pair0, i0, -1), jf0, num_segments=N + 1
     )[:N]
     fuse_with = jnp.maximum(
         jnp.where(fuse_any, jnp.maximum(fw_i, fw_j), -1), -1
     ).astype(jnp.int32)
-    remove = remove | (acc_i(dom_remove_pair.astype(jnp.int32)) > 0)
+    remove = remove | (acc_i0(dom_remove_pair0.astype(jnp.int32)) > 0)
 
     new_floes = floes._replace(
         collision_force=jnp.where(act[:, None], col_force, 0.0),
@@ -443,8 +502,10 @@ def timestep_collisions(
         remove=remove,
         fuse_with=jnp.where(act, fuse_with, -1),
     )
-    overflow = pairs.overflow | jnp.any(
-        jnp.where(pvalid, regions.overflow, False)
+    overflow = (
+        pairs.overflow
+        | (n_contacts > contact_cap)
+        | jnp.any(jnp.where(pvalid, regions.overflow, False))
     )
     return CollisionResult(
         floes=new_floes,

@@ -128,6 +128,33 @@ def build_step(sim: Simulation) -> Callable:
     return jax.jit(step)
 
 
+def run_scan(sim: Simulation, n_steps: int, start_tstep: int = 0, collect=None):
+    """Run n_steps under one jitted lax.scan (no host round-trips).
+
+    ``collect(floes, ocean)`` maps the state to small per-step outputs that
+    are stacked over steps (e.g. kinematics for conservation checks).
+    Returns (floes, ocean, domain, collected).
+    """
+    step = build_step(sim)
+
+    def body(carry, tstep):
+        floes, ocean, domain = carry
+        floes, ocean, domain, _ = step(floes, ocean, domain, tstep)
+        out = collect(floes, ocean) if collect is not None else None
+        return (floes, ocean, domain), out
+
+    @jax.jit
+    def scan_all(floes, ocean, domain):
+        ts = jnp.arange(start_tstep, start_tstep + n_steps)
+        return jax.lax.scan(body, (floes, ocean, domain), ts)
+
+    (floes, ocean, domain), collected = scan_all(
+        sim.model.floes, sim.model.ocean, sim.model.domain
+    )
+    sim.model = sim.model.replace(floes=floes, ocean=ocean, domain=domain)
+    return sim, collected
+
+
 def run(sim: Simulation, start_tstep: int = 0, callback=None):
     """run! (simulation.jl:287-297): step the simulation n_dt times.
 
