@@ -1,1 +1,7 @@
-from . import collisions, coupling, update_floe  # noqa: F401
+from . import (  # noqa: F401
+    collisions,
+    coupling,
+    lifecycle_host,
+    simplification,
+    update_floe,
+)

@@ -168,6 +168,72 @@ def find_candidate_pairs(
     return PairArrays(qi=qi, qj=qj, shift=shift, valid=valid, overflow=overflow)
 
 
+def pair_overlaps(
+    floes: FloeState,
+    domain: Domain,
+    pair_cap: int,
+    clip_cap: int = DEFAULT_CAP,
+):
+    """Overlap areas of all currently intersecting pairs, for the host-side
+    ridge/raft pass (the analog of walking the reference's per-floe
+    interaction lists, ridge_raft.jl:704-753).
+
+    Returns (i, j, area, valid): j >= 0 is a floe pool index; j < 0 encodes
+    walls (-1..-4 for N,S,E,W) and topography (-5 - t), matching the
+    reference's interaction indexing (domains.jl:150-163).
+    """
+    N = floes.capacity
+    dtype = floes.verts.dtype
+    pairs = find_candidate_pairs(floes, domain, pair_cap)
+    T = domain.topography.count
+    V = floes.max_verts
+
+    wall_vs = []
+    wall_ns = []
+    for w in range(4):
+        wv, wn = wall_rect(domain, w, V, dtype)
+        wall_vs.append(wv)
+        wall_ns.append(wn)
+    q_verts = jnp.concatenate(
+        [floes.verts, jnp.stack(wall_vs), domain.topography.verts.astype(dtype)],
+        axis=0,
+    )
+    q_n = jnp.concatenate(
+        [floes.nverts, jnp.stack(wall_ns), domain.topography.nverts], axis=0
+    )
+    i0 = pairs.qi
+    j0 = pairs.qj
+    eps_rel = 1e-9 if dtype == jnp.float64 else 2e-6
+    q_is_floe = j0 < N
+    scale0 = floes.rmax[i0] + jnp.where(
+        q_is_floe, floes.rmax[jnp.minimum(j0, N - 1)], floes.rmax[i0]
+    )
+    cnt0, contain0 = jax.vmap(count_crossings)(
+        floes.verts[i0],
+        floes.nverts[i0],
+        q_verts[j0] + pairs.shift[:, None, :],
+        q_n[j0],
+        eps_rel * scale0,
+    )
+    # full region areas only where crossings exist
+    regions = jax.vmap(
+        lambda a, b, c, d, p: intersect_regions(a, b, c, d, CAP=clip_cap, perturb=p)
+    )(
+        floes.verts[i0],
+        floes.nverts[i0],
+        q_verts[j0] + pairs.shift[:, None, :],
+        q_n[j0],
+        eps_rel * scale0,
+    )
+    area = jnp.where(cnt0 > 0, regions.total_area, contain0)
+    valid = pairs.valid & (area > 0)
+    # encode j: floes stay as pool index; walls -> -1..-4; topo -> -5-t
+    j_enc = jnp.where(
+        j0 < N, j0, jnp.where(j0 < N + 4, -(j0 - N) - 1, -(j0 - N - 4) - 5)
+    )
+    return i0, j_enc, area, valid
+
+
 class CollisionResult(NamedTuple):
     floes: FloeState
     stress_instant: jnp.ndarray  # [N, 2, 2] this-step stress (calc_stress!)

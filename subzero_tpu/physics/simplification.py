@@ -1,0 +1,63 @@
+"""Device-side floe-pool maintenance: removal and dissolution.
+
+The masking part of the reference's simplify_floes! pipeline
+(/root/reference/src/physical_processes/simplification.jl:279-378): floes
+marked ``remove`` are deactivated; floes below the minimum area or height are
+dissolved into the ocean's ``dissolved`` field at their centroid cell.
+(Smoothing and fusing are host passes - see lifecycle_host.py.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.domain import Domain
+from ..core.fields import OceanState
+from ..core.floes import FloeState
+from ..core.grid import RegRectilinearGrid
+from ..settings import FloeSettings
+
+
+def remove_and_dissolve(
+    floes: FloeState,
+    ocean: OceanState,
+    grid: RegRectilinearGrid,
+    domain: Domain,
+    floe_settings: FloeSettings,
+):
+    """remove_floes! (simplification.jl:279-314), batched.
+
+    Returns (floes, ocean) with dissolved mass accumulated.
+    """
+    act = floes.active
+    dissolve = act & ~floes.remove & (
+        (floes.area < floe_settings.min_floe_area)
+        | (floes.height < floe_settings.min_floe_height)
+    )
+    # dissolved mass scattered to the grid cell under the centroid
+    # (dissolve_floe!, simplification.jl:18-32)
+    cx = jnp.floor((floes.centroid[:, 0] - grid.x0) / grid.dx).astype(jnp.int32)
+    cy = jnp.floor((floes.centroid[:, 1] - grid.y0) / grid.dy).astype(jnp.int32)
+    if domain.ew_periodic:
+        cx = jnp.mod(cx, grid.Nx)
+    if domain.ns_periodic:
+        cy = jnp.mod(cy, grid.Ny)
+    in_grid = (cx >= 0) & (cx < grid.Nx) & (cy >= 0) & (cy < grid.Ny)
+    NCy = grid.Ny + 1
+    cell = jnp.where(dissolve & in_grid, cx * NCy + cy, grid.Nx * NCy + grid.Ny)
+    added = jax.ops.segment_sum(
+        jnp.where(dissolve & in_grid, floes.mass, 0.0),
+        cell,
+        num_segments=(grid.Nx + 1) * NCy,
+    ).reshape(grid.Nx + 1, NCy)
+    ocean = ocean._replace(dissolved=ocean.dissolved + added.astype(ocean.dissolved.dtype))
+
+    gone = floes.remove | dissolve
+    new_active = act & ~gone
+    floes = floes._replace(
+        active=new_active,
+        remove=jnp.zeros_like(floes.remove),
+        fuse_with=jnp.full_like(floes.fuse_with, -1),
+    )
+    return floes, ocean

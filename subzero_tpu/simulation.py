@@ -27,6 +27,8 @@ from .core.domain import Domain
 from .core.model import Model
 from .physics import collisions as _collisions
 from .physics import coupling as _coupling
+from .physics import lifecycle_host as _lifecycle
+from .physics import simplification as _simplification
 from .physics import update_floe as _update_floe
 from .settings import (
     CollisionSettings,
@@ -123,6 +125,12 @@ def build_step(sim: Simulation) -> Callable:
             floes, dt, fs, stress_instant
         )
         floes = _update_floe.wrap_periodic(floes, domain)
+
+        # --- removal / dissolution (simplify_floes! device part,
+        #     simulation.jl:205-214) -----------------------------------------
+        floes, ocean = _simplification.remove_and_dissolve(
+            floes, ocean, grid, domain, fs
+        )
         return floes, ocean, domain, overflow
 
     return jax.jit(step)
@@ -155,12 +163,74 @@ def run_scan(sim: Simulation, n_steps: int, start_tstep: int = 0, collect=None):
     return sim, collected
 
 
+def _host_lifecycle_passes(sim, floes, domain, tstep, rng, state):
+    """Host-orchestrated topology changes at their process cadences
+    (timestep_sim! order, simulation.jl:94-220). Returns updated floes."""
+    fs = sim.floe_settings
+    dt = float(sim.dt)
+
+    # ridging / rafting (simulation.jl:121-135)
+    rr = sim.ridgeraft_settings
+    if rr.ridge_raft_on and rr.dt > 0 and tstep % rr.dt == 0 and tstep > 0:
+        i, j, area, valid = _collisions.pair_overlaps(
+            floes, domain, sim.pair_cap, sim.clip_cap
+        )
+        mask = np.asarray(valid)
+        overlaps = list(
+            zip(
+                np.asarray(i)[mask].tolist(),
+                np.asarray(j)[mask].tolist(),
+                np.asarray(area)[mask].tolist(),
+            )
+        )
+        if overlaps:
+            floes, state["max_floe_id"] = _lifecycle.timestep_ridging_rafting(
+                floes, domain, overlaps, state["max_floe_id"],
+                rr, fs, sim.simp_settings, dt, rng,
+            )
+
+    # fracture (simulation.jl:172-182)
+    fr = sim.fracture_settings
+    if fr.fractures_on and fr.dt > 0 and tstep % fr.dt == 0 and tstep > 0:
+        floes, state["max_floe_id"] = _lifecycle.fracture_floes(
+            floes, state["max_floe_id"], rng, fr, fs, dt
+        )
+
+    # welding (simulation.jl:185-202)
+    ws = sim.weld_settings
+    if ws.weld_on:
+        for k, wdt in enumerate(ws.dts):
+            if tstep > 0 and tstep % wdt == 0:
+                floes, state["max_floe_id"] = _lifecycle.timestep_welding(
+                    floes, state["max_floe_id"], sim.model.grid, domain,
+                    ws, fs, k, dt, rng,
+                )
+                break
+
+    # smoothing (simplification.jl:56-121)
+    sp = sim.simp_settings
+    if (
+        sp.smooth_vertices_on
+        and sp.dt_smooth > 0
+        and tstep > 0
+        and tstep % sp.dt_smooth == 0
+    ):
+        floes = _lifecycle.smooth_floes(floes, sp, fs, dt, rng)
+
+    # fusing of >max-overlap pairs flagged by collisions
+    if bool(jnp.any(floes.fuse_with >= 0)):
+        floes, state["max_floe_id"] = _lifecycle.fuse_floes(
+            floes, state["max_floe_id"], fs, dt, rng
+        )
+    return floes
+
+
 def run(sim: Simulation, start_tstep: int = 0, callback=None):
     """run! (simulation.jl:287-297): step the simulation n_dt times.
 
     ``callback(tstep, floes, ocean, domain)`` is invoked before each step
-    (mirroring write_data!'s position in timestep_sim!, simulation.jl:105)
-    whenever it returns True for wanting data; used by output writers.
+    (mirroring write_data!'s position in timestep_sim!, simulation.jl:105);
+    used by output writers.
     """
     step = build_step(sim)
     floes = sim.model.floes
@@ -168,6 +238,15 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
     domain = sim.model.domain
     tstep = start_tstep
     n_overflow = 0
+    rng = np.random.default_rng(sim.seed)
+    state = {"max_floe_id": int(jnp.max(sim.model.floes.id))}
+    has_host_ops = (
+        sim.ridgeraft_settings.ridge_raft_on
+        or sim.fracture_settings.fractures_on
+        or sim.weld_settings.weld_on
+        or sim.simp_settings.smooth_vertices_on
+        or sim.collision_settings.collisions_on  # fusing flags
+    )
     while tstep <= start_tstep + sim.n_dt:
         if sim.verbose and tstep % 50 == 0:
             print(f"{tstep} timesteps")
@@ -178,6 +257,8 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
         )
         if bool(overflow):
             n_overflow += 1
+        if has_host_ops:
+            floes = _host_lifecycle_passes(sim, floes, domain, tstep, rng, state)
         tstep += 1
     if n_overflow:
         import warnings
