@@ -1,0 +1,317 @@
+"""Output writers.
+
+Mirrors the reference's four writers (/root/reference/src/output.jl):
+
+  * InitialStateOutputWriter - whole simulation config + initial state
+    (output.jl:21-74)
+  * FloeOutputWriter(interval) - selected floe fields per timestep group
+    (output.jl:161-225)
+  * GridOutputWriter(interval, (Nx, Ny)) - floe data re-gridded to a coarse
+    Eulerian grid (output.jl:239-404, calc_eulerian_data! :794-919)
+  * CheckpointOutputWriter(interval) - floes + ocean + atmos (+ RNG state,
+    an improvement over the reference) for restart (output.jl:85-148)
+
+Storage is HDF5 (the same container JLD2 builds on); the reference's NetCDF
+grid output becomes an HDF5 file with identical variable names, since no
+NetCDF library is available in this environment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence
+
+import h5py
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.floes import FloeState
+
+DEFAULT_FLOE_FIELDS = (
+    "centroid", "height", "area", "mass", "rmax", "moment", "alpha",
+    "u", "v", "xi", "id", "parent_id", "fx_oa", "fy_oa", "trq_oa",
+    "hflx_factor", "overarea", "collision_force", "collision_trq",
+    "stress_accum", "stress_instant", "strain", "nverts", "verts",
+)
+
+GRID_OUTPUTS = (
+    "u_grid", "v_grid", "dudt_grid", "dvdt_grid", "overarea_grid",
+    "mass_grid", "area_grid", "height_grid", "si_frac_grid",
+    "stress_xx_grid", "stress_yx_grid", "stress_xy_grid", "stress_yy_grid",
+    "stress_eig_grid", "strain_ux_grid", "strain_vx_grid", "strain_uy_grid",
+    "strain_vy_grid",
+)
+
+
+@dataclasses.dataclass
+class InitialStateOutputWriter:
+    dir: str = "."
+    filename: str = "initial_state.h5"
+    overwrite: bool = False
+
+    def path(self):
+        return os.path.join(self.dir, self.filename)
+
+    def write(self, sim):
+        os.makedirs(self.dir, exist_ok=True)
+        mode = "w" if self.overwrite else "x"
+        with h5py.File(self.path(), mode) as f:
+            meta = {
+                "name": sim.name,
+                "dt": sim.dt,
+                "n_dt": sim.n_dt,
+                "consts": dataclasses.asdict(sim.consts),
+                "grid": dataclasses.asdict(sim.model.grid),
+                "domain_kinds": list(sim.model.domain.kinds),
+            }
+            f.attrs["sim_json"] = json.dumps(meta)
+            _write_floes(f.create_group("floes"), sim.model.floes)
+            _write_tree(f.create_group("ocean"), sim.model.ocean._asdict())
+            _write_tree(f.create_group("atmos"), sim.model.atmos._asdict())
+            dom = sim.model.domain
+            g = f.create_group("domain")
+            g.create_dataset("vals", data=np.asarray(dom.vals))
+            g.create_dataset("velocities", data=np.asarray(dom.velocities))
+            gt = g.create_group("topography")
+            _write_tree(gt, dom.topography._asdict())
+
+
+def _write_floes(group, floes: FloeState, fields: Sequence[str] = DEFAULT_FLOE_FIELDS):
+    act = np.asarray(floes.active)
+    for k in fields:
+        v = np.asarray(getattr(floes, k))
+        group.create_dataset(k, data=v[act])
+
+
+def _write_tree(group, tree: dict):
+    for k, v in tree.items():
+        group.create_dataset(k, data=np.asarray(v))
+
+
+@dataclasses.dataclass
+class FloeOutputWriter:
+    interval: int
+    dir: str = "."
+    filename: str = "floes.h5"
+    overwrite: bool = False
+    outputs: Sequence[str] = DEFAULT_FLOE_FIELDS
+
+    _file: Optional[h5py.File] = None
+
+    def open(self):
+        os.makedirs(self.dir, exist_ok=True)
+        mode = "w" if self.overwrite else "x"
+        self._file = h5py.File(os.path.join(self.dir, self.filename), mode)
+
+    def write(self, tstep, floes: FloeState):
+        if self._file is None:
+            self.open()
+        g = self._file.create_group(str(tstep))
+        _write_floes(g, floes, self.outputs)
+
+    def close(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+
+@dataclasses.dataclass
+class CheckpointOutputWriter:
+    interval: int
+    dir: str = "."
+    filename: str = "checkpoint.h5"
+    overwrite: bool = False
+
+    _file: Optional[h5py.File] = None
+
+    def open(self):
+        os.makedirs(self.dir, exist_ok=True)
+        mode = "w" if self.overwrite else "x"
+        self._file = h5py.File(os.path.join(self.dir, self.filename), mode)
+
+    def write(self, tstep, floes, ocean, atmos, rng_state=None):
+        if self._file is None:
+            self.open()
+        # full pool (including inactive slots) so restart is exact
+        g = self._file.create_group(f"floes/{tstep}")
+        _write_tree(g, floes._asdict())
+        _write_tree(self._file.create_group(f"ocean/{tstep}"), ocean._asdict())
+        _write_tree(self._file.create_group(f"atmos/{tstep}"), atmos._asdict())
+        if rng_state is not None:
+            self._file[f"rng/{tstep}"] = json.dumps(rng_state)
+
+    def close(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+
+@dataclasses.dataclass
+class GridOutputWriter:
+    """Re-grids floe data onto a coarse (nx, ny) Eulerian grid."""
+
+    interval: int
+    dims: tuple = (10, 10)
+    dir: str = "."
+    filename: str = "gridded_data.h5"
+    overwrite: bool = False
+    outputs: Sequence[str] = GRID_OUTPUTS
+
+    _file: Optional[h5py.File] = None
+
+    def open(self, grid):
+        os.makedirs(self.dir, exist_ok=True)
+        mode = "w" if self.overwrite else "x"
+        self._file = h5py.File(os.path.join(self.dir, self.filename), mode)
+        ny, nx = self.dims
+        xs = np.linspace(grid.x0, grid.xf, nx + 1)
+        ys = np.linspace(grid.y0, grid.yf, ny + 1)
+        self._file["x"] = 0.5 * (xs[:-1] + xs[1:])
+        self._file["y"] = 0.5 * (ys[:-1] + ys[1:])
+
+    def write(self, tstep, floes, ocean, grid):
+        if self._file is None:
+            self.open(grid)
+        data = eulerian_data(floes, ocean, grid, self.dims, self.outputs)
+        g = self._file.create_group(str(tstep))
+        for k, v in data.items():
+            g.create_dataset(k, data=v)
+
+    def close(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+
+def eulerian_data(floes: FloeState, ocean, grid, dims, outputs=GRID_OUTPUTS):
+    """calc_eulerian_data! (output.jl:794-919): per coarse cell, area-ratio
+    weighted averages of floe quantities over the floes covering the cell."""
+    from ..physics.coupling import _clip_area_to_rects
+
+    ny, nx = dims
+    xs = np.linspace(grid.x0, grid.xf, nx + 1)
+    ys = np.linspace(grid.y0, grid.yf, ny + 1)
+    N = floes.capacity
+    # rect bounds per (floe, cell) - full cartesian product (coarse grid)
+    xmin = jnp.asarray(np.broadcast_to(xs[:-1][None, :, None], (N, nx, ny)))
+    xmax = jnp.asarray(np.broadcast_to(xs[1:][None, :, None], (N, nx, ny)))
+    ymin = jnp.asarray(np.broadcast_to(ys[:-1][None, None, :], (N, nx, ny)))
+    ymax = jnp.asarray(np.broadcast_to(ys[1:][None, None, :], (N, nx, ny)))
+    ok = jnp.broadcast_to(floes.active[:, None, None], (N, nx, ny))
+    area = _clip_area_to_rects(
+        floes.verts, floes.nverts, xmin, xmax, ymin, ymax, ok
+    )  # [N, nx, ny]
+    area = np.asarray(area)
+    tot = area.sum(axis=0)  # [nx, ny]
+    w = np.where(tot > 0, area / np.where(tot > 0, tot, 1.0), 0.0)
+
+    def avg(q):
+        return np.einsum("n,nxy->xy", np.asarray(q), w)
+
+    cell_area = (xs[1] - xs[0]) * (ys[1] - ys[0])
+    stress = np.asarray(floes.stress_accum)
+    strain = np.asarray(floes.strain)
+    eig = np.linalg.eigvalsh(stress)[..., -1]
+    known = {
+        "u_grid": lambda: avg(floes.u),
+        "v_grid": lambda: avg(floes.v),
+        "dudt_grid": lambda: avg(floes.p_dudt),
+        "dvdt_grid": lambda: avg(floes.p_dvdt),
+        "overarea_grid": lambda: avg(floes.overarea),
+        "mass_grid": lambda: avg(floes.mass),
+        "area_grid": lambda: tot,
+        "height_grid": lambda: avg(floes.height),
+        "si_frac_grid": lambda: tot / cell_area,
+        "stress_xx_grid": lambda: avg(stress[:, 0, 0]),
+        "stress_yx_grid": lambda: avg(stress[:, 1, 0]),
+        "stress_xy_grid": lambda: avg(stress[:, 0, 1]),
+        "stress_yy_grid": lambda: avg(stress[:, 1, 1]),
+        "stress_eig_grid": lambda: avg(eig),
+        "strain_ux_grid": lambda: avg(strain[:, 0, 0]),
+        "strain_vx_grid": lambda: avg(strain[:, 1, 0]),
+        "strain_uy_grid": lambda: avg(strain[:, 0, 1]),
+        "strain_vy_grid": lambda: avg(strain[:, 1, 1]),
+    }
+    return {k: known[k]() for k in outputs if k in known}
+
+
+@dataclasses.dataclass
+class OutputWriters:
+    """Container + dispatcher (output.jl:415-499)."""
+
+    initial_state: Optional[InitialStateOutputWriter] = None
+    floes: Optional[FloeOutputWriter] = None
+    grid: Optional[GridOutputWriter] = None
+    checkpoint: Optional[CheckpointOutputWriter] = None
+
+    def write_data(self, sim, tstep, floes, ocean, domain, rng_state=None):
+        if tstep == 0 and self.initial_state is not None:
+            self.initial_state.write(sim)
+        if self.floes is not None and tstep % self.floes.interval == 0:
+            self.floes.write(tstep, floes)
+        if self.grid is not None and tstep % self.grid.interval == 0:
+            self.grid.write(tstep, floes, ocean, sim.model.grid)
+        if (
+            self.checkpoint is not None
+            and tstep % self.checkpoint.interval == 0
+        ):
+            self.checkpoint.write(
+                tstep, floes, ocean, sim.model.atmos, rng_state
+            )
+
+    def close(self):
+        for w in (self.floes, self.grid, self.checkpoint):
+            if w is not None:
+                w.close()
+
+
+def restart(
+    initial_state_path: str,
+    checkpoint_path: str,
+    new_n_dt: int,
+    writers: Optional[OutputWriters] = None,
+    start_tstep: int = 0,
+):
+    """restart! (simulation.jl:310-340): rebuild a Simulation from the
+    initial-state and checkpoint files and return it ready to run."""
+    from ..constants import Constants
+    from ..core.domain import Domain, empty_topography, TopographyField
+    from ..core.fields import AtmosState, OceanState
+    from ..core.grid import RegRectilinearGrid
+    from ..core.model import Model
+    from ..simulation import Simulation
+
+    with h5py.File(initial_state_path, "r") as f:
+        meta = json.loads(f.attrs["sim_json"])
+        dom_g = f["domain"]
+        topo_d = {k: jnp.asarray(v[()]) for k, v in dom_g["topography"].items()}
+        domain = Domain(
+            kinds=tuple(meta["domain_kinds"]),
+            vals=jnp.asarray(dom_g["vals"][()]),
+            velocities=jnp.asarray(dom_g["velocities"][()]),
+            topography=TopographyField(**topo_d),
+        )
+    grid = RegRectilinearGrid(**meta["grid"])
+    with h5py.File(checkpoint_path, "r") as f:
+        last = max(int(k) for k in f["floes"].keys())
+        floes = FloeState(
+            **{k: jnp.asarray(v[()]) for k, v in f[f"floes/{last}"].items()}
+        )
+        ocean = OceanState(
+            **{k: jnp.asarray(v[()]) for k, v in f[f"ocean/{last}"].items()}
+        )
+        atmos = AtmosState(
+            **{k: jnp.asarray(v[()]) for k, v in f[f"atmos/{last}"].items()}
+        )
+    model = Model(grid=grid, ocean=ocean, atmos=atmos, domain=domain, floes=floes)
+    sim = Simulation(
+        model=model,
+        consts=Constants(**meta["consts"]),
+        dt=meta["dt"],
+        n_dt=new_n_dt,
+        name=meta["name"],
+        writers=writers,
+    )
+    return sim, last

@@ -252,6 +252,12 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
             print(f"{tstep} timesteps")
         if callback is not None:
             callback(tstep, floes, ocean, domain)
+        if sim.writers is not None:
+            sim.model = sim.model.replace(floes=floes, ocean=ocean, domain=domain)
+            sim.writers.write_data(
+                sim, tstep, floes, ocean, domain,
+                rng_state=rng.bit_generator.state,
+            )
         floes, ocean, domain, overflow = step(
             floes, ocean, domain, jnp.asarray(tstep)
         )
@@ -267,5 +273,7 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
             f"{n_overflow} steps exceeded pair/crossing capacity; results "
             "may be inaccurate. Increase pair_cap/clip_cap."
         )
+    if sim.writers is not None:
+        sim.writers.close()
     sim.model = sim.model.replace(floes=floes, ocean=ocean, domain=domain)
     return sim
