@@ -169,9 +169,17 @@ def initialize_floe_field(
     dh,
     floe_settings: FloeSettings = FloeSettings(min_floe_area=0.0),
     rng=None,
+    shrink_frac: float = 1e-4,
     **kwargs,
 ) -> FloeState:
-    """Voronoi floe field with per-cell concentrations (floe.jl:548-634)."""
+    """Voronoi floe field with per-cell concentrations (floe.jl:548-634).
+
+    ``shrink_frac``: each floe is contracted about its centroid by this
+    fraction so adjacent Voronoi cells start with a hairline gap instead of
+    exactly shared (degenerate) edges. The reference leaves cells flush -
+    identical physics (zero contact force either way), but the gap keeps
+    the t=0 contact list from being flooded with degenerate sliver pairs.
+    """
     if rng is None:
         rng = np.random.default_rng(1)
     conc = np.atleast_2d(np.asarray(concentrations, float))
@@ -228,4 +236,10 @@ def initialize_floe_field(
                     if a >= floe_settings.min_floe_area and a > 0:
                         floes_polys.append(p)
                         floes_area += a
+    if shrink_frac > 0:
+        shrunk = []
+        for p in floes_polys:
+            c = host_clip.poly_centroid_np(p)
+            shrunk.append(c + (p - c) * (1.0 - shrink_frac))
+        floes_polys = shrunk
     return build_floes(floes_polys, hmean, dh, floe_settings, rng, **kwargs)

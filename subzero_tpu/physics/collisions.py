@@ -331,10 +331,26 @@ def timestep_collisions(
     cnt0 = jnp.where(pvalid0, cnt0, 0)
     contain0 = jnp.where(pvalid0, contain0, 0.0)
 
-    contact_cap = max(pair_cap // 4, 64)
+    # contacts are split into a small-vertex fast path (both rings fit in
+    # SMALL_V vertices - the common case for Voronoi floes and wall rects)
+    # and a full-capacity path, quartering the V x W crossing work for the
+    # bulk of the contact list
+    SMALL_V = min(16, V)
+    cc_small = max(pair_cap // 8, 64)
+    cc_big = max(pair_cap // 32, 32)
+    contact_cap = cc_small + cc_big
+
     is_contact = cnt0 > 0
-    n_contacts = jnp.sum(is_contact.astype(jnp.int32))
-    (csel,) = jnp.nonzero(is_contact, size=contact_cap, fill_value=pair_cap)
+    fits_small = (floes.nverts[i0] <= SMALL_V) & (q_n[j0] <= SMALL_V)
+    small_ok = is_contact & fits_small
+    big_ok = is_contact & ~fits_small
+    n_contacts = jnp.maximum(
+        jnp.sum(small_ok.astype(jnp.int32)) * contact_cap // max(cc_small, 1),
+        jnp.sum(big_ok.astype(jnp.int32)) * contact_cap // max(cc_big, 1),
+    )  # scaled so the overflow check below compares against contact_cap
+    (ssel,) = jnp.nonzero(small_ok, size=cc_small, fill_value=pair_cap)
+    (bsel,) = jnp.nonzero(big_ok, size=cc_big, fill_value=pair_cap)
+    csel = jnp.concatenate([ssel, bsel])
     cvalid = csel < pair_cap
     csafe = jnp.minimum(csel, pair_cap - 1)
 
@@ -350,9 +366,21 @@ def timestep_collisions(
         [0.6180339887, 1.0], dtype
     )
 
-    regions = jax.vmap(
-        lambda a, b, c, d, p: intersect_regions(a, b, c + p, d, CAP=clip_cap)
-    )(pv, pn, qv, qn, perturb)
+    kernel = lambda a, b, c, d, p: intersect_regions(a, b, c + p, d, CAP=clip_cap)
+    regions_small = jax.vmap(kernel)(
+        pv[:cc_small, :SMALL_V],
+        jnp.minimum(pn[:cc_small], SMALL_V),
+        qv[:cc_small, :SMALL_V],
+        jnp.minimum(qn[:cc_small], SMALL_V),
+        perturb[:cc_small],
+    )
+    regions_big = jax.vmap(kernel)(
+        pv[cc_small:], pn[cc_small:], qv[cc_small:], qn[cc_small:],
+        perturb[cc_small:],
+    )
+    regions = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), regions_small, regions_big
+    )
 
     R = clip_cap
     pvalid = cvalid
