@@ -60,6 +60,7 @@ def find_candidate_pairs(
     floes: FloeState,
     domain: Domain,
     pair_cap: int,
+    bins: tuple | None = None,
 ) -> PairArrays:
     """Broad phase: bounding-circle tests over all i<j pairs plus walls and
     topography (potential_interaction, collisions.jl:705-710).
@@ -69,7 +70,21 @@ def find_candidate_pairs(
     and its shift vector is carried on the pair.  (Valid while every floe is
     smaller than half the domain, which the reference's ghost machinery also
     implicitly assumes for correctness of its one-ghost-per-direction copy.)
+
+    ``bins``: optional static (nbx, nby, M) spatial binning parameters - when
+    given, floe-floe candidates come from 3x3 neighborhoods of a spatial bin
+    grid (O(N * M) instead of O(N^2)); M is the per-bin floe capacity.
     """
+    if bins is not None:
+        return _find_candidate_pairs_binned(floes, domain, pair_cap, bins)
+    return _find_candidate_pairs_dense(floes, domain, pair_cap)
+
+
+def _find_candidate_pairs_dense(
+    floes: FloeState,
+    domain: Domain,
+    pair_cap: int,
+) -> PairArrays:
     N = floes.capacity
     dtype = floes.verts.dtype
     c = floes.centroid
@@ -168,11 +183,178 @@ def find_candidate_pairs(
     return PairArrays(qi=qi, qj=qj, shift=shift, valid=valid, overflow=overflow)
 
 
+def _wall_topo_flat(floes, domain):
+    """Shared wall/topography candidate masks ([N*4], [N*T] flats)."""
+    N = floes.capacity
+    c = floes.centroid
+    r = floes.rmax
+    act = floes.active
+    vals = domain.vals
+    beyond = jnp.stack(
+        [
+            c[:, 1] + r > vals[NORTH],
+            c[:, 1] - r < vals[SOUTH],
+            c[:, 0] + r > vals[EAST],
+            c[:, 0] - r < vals[WEST],
+        ],
+        axis=1,
+    )
+    wall_force = jnp.asarray(
+        [
+            domain.kinds[w] in (BoundaryKind.COLLISION, BoundaryKind.MOVING)
+            for w in range(4)
+        ]
+    )
+    fw_flat = (act[:, None] & beyond & wall_force[None, :]).reshape(-1)
+    T = domain.topography.count
+    if T > 0:
+        tc = domain.topography.centroid
+        tr = domain.topography.rmax
+        dt_ = c[:, None, :] - tc[None, :, :]
+        ft_flat = (
+            act[:, None]
+            & (jnp.sum(dt_ * dt_, axis=-1) < (r[:, None] + tr[None, :]) ** 2)
+        ).reshape(-1)
+    else:
+        ft_flat = jnp.zeros((0,), bool)
+    return fw_flat, ft_flat
+
+
+def _find_candidate_pairs_binned(
+    floes: FloeState,
+    domain: Domain,
+    pair_cap: int,
+    bins: tuple,
+) -> PairArrays:
+    """O(N*M) broad phase: floes sorted into an (nbx, nby) spatial bin grid;
+    candidates come from each floe's 3x3 bin neighborhood (wrapping through
+    periodic boundaries).  Requires bin size >= 2*max(rmax), which the
+    Simulation builder guarantees when choosing (nbx, nby)."""
+    nbx, nby, M = bins
+    N = floes.capacity
+    dtype = floes.verts.dtype
+    c = floes.centroid
+    r = floes.rmax
+    act = floes.active
+    w_val = domain.vals[WEST]
+    s_val = domain.vals[SOUTH]
+    Lx = domain.vals[EAST] - w_val
+    Ly = domain.vals[NORTH] - s_val
+    bx = Lx / nbx
+    by = Ly / nby
+
+    ibx = jnp.clip(jnp.floor((c[:, 0] - w_val) / bx).astype(jnp.int32), 0, nbx - 1)
+    iby = jnp.clip(jnp.floor((c[:, 1] - s_val) / by).astype(jnp.int32), 0, nby - 1)
+    NB = nbx * nby
+    bin_id = jnp.where(act, ibx * nby + iby, NB)
+    counts = jax.ops.segment_sum(
+        jnp.ones((N,), jnp.int32), bin_id, num_segments=NB + 1
+    )[:NB]
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    order = jnp.argsort(bin_id)  # active floes first, grouped by bin
+    bin_overflow = jnp.max(counts) > M
+
+    # 3x3 neighbor bins
+    offs = jnp.asarray([-1, 0, 1])
+    nx_idx = ibx[:, None, None] + offs[None, :, None]  # [N,3,1]
+    ny_idx = iby[:, None, None] + offs[None, None, :]  # [N,1,3]
+    if domain.ew_periodic:
+        nx_ok = jnp.ones_like(nx_idx, bool)
+        nx_idx = jnp.mod(nx_idx, nbx)
+    else:
+        nx_ok = (nx_idx >= 0) & (nx_idx < nbx)
+        nx_idx = jnp.clip(nx_idx, 0, nbx - 1)
+    if domain.ns_periodic:
+        ny_ok = jnp.ones_like(ny_idx, bool)
+        ny_idx = jnp.mod(ny_idx, nby)
+    else:
+        ny_ok = (ny_idx >= 0) & (ny_idx < nby)
+        ny_idx = jnp.clip(ny_idx, 0, nby - 1)
+    nb_id = (nx_idx * nby + ny_idx).reshape(N, 9)
+    nb_ok = (nx_ok & ny_ok).reshape(N, 9)
+
+    start = offsets[nb_id]            # [N,9]
+    cnt = counts[nb_id]               # [N,9]
+    kk = jnp.arange(M)
+    slot_ok = kk[None, None, :] < cnt[:, :, None]        # [N,9,M]
+    j_cand = order[jnp.minimum(start[:, :, None] + kk[None, None, :], N - 1)]
+    iidx = jnp.arange(N)[:, None, None]
+
+    # min-image fold + circle test (identical physics to the dense path)
+    dx = c[:, 0][:, None, None] - c[j_cand, 0]
+    dy = c[:, 1][:, None, None] - c[j_cand, 1]
+    sx = jnp.zeros_like(dx)
+    sy = jnp.zeros_like(dy)
+    if domain.ew_periodic:
+        fold = jnp.abs(dx) > Lx / 2
+        sx = jnp.where(fold, jnp.sign(dx) * Lx, 0.0)
+        dx = dx - sx
+    if domain.ns_periodic:
+        fold = jnp.abs(dy) > Ly / 2
+        sy = jnp.where(fold, jnp.sign(dy) * Ly, 0.0)
+        dy = dy - sy
+    rsum = r[:, None, None] + r[j_cand]
+    mask = (
+        nb_ok[:, :, None]
+        & slot_ok
+        & act[:, None, None]
+        & act[j_cand]
+        & (iidx < j_cand)
+        & (dx * dx + dy * dy < rsum * rsum)
+    )
+
+    ff_flat = mask.reshape(-1)
+    ff_j = j_cand.reshape(-1)
+    ff_shift = jnp.stack([sx, sy], axis=-1).reshape(-1, 2)
+
+    # 3x3 neighborhoods only capture pairs within one bin length: flag if
+    # floes have grown (fuse/weld) beyond the bin-size guarantee
+    rmax_ok = 2.0 * jnp.max(jnp.where(act, r, 0.0)) <= jnp.minimum(bx, by)
+    bin_overflow = bin_overflow | ~rmax_ok
+
+    fw_flat, ft_flat = _wall_topo_flat(floes, domain)
+    T = domain.topography.count
+
+    all_flat = jnp.concatenate([ff_flat, fw_flat, ft_flat])
+    total = all_flat.shape[0]
+    n_hits = jnp.sum(all_flat.astype(jnp.int32))
+    overflow = (n_hits > pair_cap) | bin_overflow
+    (sel,) = jnp.nonzero(all_flat, size=pair_cap, fill_value=total)
+    valid = sel < total
+
+    ff_total = N * 9 * M
+    fw_total = 4 * N
+    is_ff = sel < ff_total
+    is_fw = (sel >= ff_total) & (sel < ff_total + fw_total)
+    sel_ff = jnp.where(is_ff, sel, 0)
+    i_ff = sel_ff // (9 * M)
+    j_ff = ff_j[sel_ff]
+    sel_fw = jnp.where(is_fw, sel - ff_total, 0)
+    i_fw = sel_fw // 4
+    w_fw = sel_fw % 4
+    sel_ft = jnp.where(
+        is_ff | is_fw, 0,
+        jnp.minimum(sel - ff_total - fw_total, max(T * N - 1, 0)),
+    )
+    i_ft = sel_ft // max(T, 1)
+    t_ft = sel_ft % max(T, 1)
+
+    qi = jnp.where(is_ff, i_ff, jnp.where(is_fw, i_fw, i_ft)).astype(jnp.int32)
+    qj = jnp.where(
+        is_ff, j_ff, jnp.where(is_fw, N + w_fw, N + 4 + t_ft)
+    ).astype(jnp.int32)
+    shift = jnp.where(is_ff[:, None], ff_shift[sel_ff], 0.0)
+    return PairArrays(qi=qi, qj=qj, shift=shift, valid=valid, overflow=overflow)
+
+
 def pair_overlaps(
     floes: FloeState,
     domain: Domain,
     pair_cap: int,
     clip_cap: int = DEFAULT_CAP,
+    bins: tuple | None = None,
 ):
     """Overlap areas of all currently intersecting pairs, for the host-side
     ridge/raft pass (the analog of walking the reference's per-floe
@@ -184,7 +366,7 @@ def pair_overlaps(
     """
     N = floes.capacity
     dtype = floes.verts.dtype
-    pairs = find_candidate_pairs(floes, domain, pair_cap)
+    pairs = find_candidate_pairs(floes, domain, pair_cap, bins)
     T = domain.topography.count
     V = floes.max_verts
 
@@ -248,6 +430,7 @@ def timestep_collisions(
     collision_settings: CollisionSettings,
     pair_cap: int,
     clip_cap: int = DEFAULT_CAP,
+    bins: tuple | None = None,
 ) -> CollisionResult:
     """timestep_collisions! (collisions.jl:734-864), fully batched."""
     N = floes.capacity
@@ -255,7 +438,7 @@ def timestep_collisions(
     dtype = floes.verts.dtype
     act = floes.active
 
-    pairs = find_candidate_pairs(floes, domain, pair_cap)
+    pairs = find_candidate_pairs(floes, domain, pair_cap, bins)
     PC = pair_cap
 
     # ---------------- open-boundary removal (collisions.jl:427-441) --------

@@ -62,6 +62,7 @@ class Simulation:
     pair_cap: Optional[int] = None
     cell_cap: Optional[int] = None
     clip_cap: int = 16
+    bins: Optional[tuple] = None  # (nbx, nby, M) spatial broad-phase binning
 
     def __post_init__(self):
         N = self.model.floes.capacity
@@ -73,6 +74,33 @@ class Simulation:
             g = self.model.grid
             cap = int(2 * np.ceil(1.5 * rmax / min(g.dx, g.dy)) + 3)
             self.cell_cap = min(cap, max(g.Nx, g.Ny) + 1)
+        if self.bins is None and N >= 768:
+            self.bins = _auto_bins(self.model)
+
+
+def _auto_bins(model: Model) -> Optional[tuple]:
+    """Choose static (nbx, nby, M) bin parameters from the initial field:
+    bin size >= 2.2 * max rmax (so 3x3 neighborhoods capture all pairs, with
+    growth headroom), per-bin capacity 2x the initial max occupancy."""
+    floes = model.floes
+    act = np.asarray(floes.active)
+    if act.sum() == 0:
+        return None
+    rmax = float(np.max(np.asarray(floes.rmax)[act]))
+    vals = np.asarray(model.domain.vals, float)
+    Lx = vals[2] - vals[3]
+    Ly = vals[0] - vals[1]
+    b = 2.2 * rmax
+    nbx = max(int(Lx / b), 1)
+    nby = max(int(Ly / b), 1)
+    if nbx * nby < 16:
+        return None  # too few bins to be worth it
+    cx = np.asarray(floes.centroid)[act]
+    ibx = np.clip(((cx[:, 0] - vals[3]) / (Lx / nbx)).astype(int), 0, nbx - 1)
+    iby = np.clip(((cx[:, 1] - vals[1]) / (Ly / nby)).astype(int), 0, nby - 1)
+    occ = np.bincount(ibx * nby + iby, minlength=nbx * nby)
+    M = int(2 * occ.max() + 8)
+    return (nbx, nby, M)
 
 
 def build_step(sim: Simulation) -> Callable:
@@ -96,7 +124,8 @@ def build_step(sim: Simulation) -> Callable:
         # --- collisions (simulation.jl:108-117) ---------------------------
         if cls.collisions_on:
             res = _collisions.timestep_collisions(
-                floes, domain, consts, dt, cls, sim.pair_cap, sim.clip_cap
+                floes, domain, consts, dt, cls, sim.pair_cap, sim.clip_cap,
+                sim.bins,
             )
             floes = res.floes
             stress_instant = res.stress_instant
@@ -173,7 +202,7 @@ def _host_lifecycle_passes(sim, floes, domain, tstep, rng, state):
     rr = sim.ridgeraft_settings
     if rr.ridge_raft_on and rr.dt > 0 and tstep % rr.dt == 0 and tstep > 0:
         i, j, area, valid = _collisions.pair_overlaps(
-            floes, domain, sim.pair_cap, sim.clip_cap
+            floes, domain, sim.pair_cap, sim.clip_cap, sim.bins
         )
         mask = np.asarray(valid)
         overlaps = list(
