@@ -350,6 +350,54 @@ def split_floe(hf: HostFloes, i, rng, frac_settings, fs: FloeSettings, dt):
     return out
 
 
+def deform_floe(hf: HostFloes, i, deformer_ring, fs: FloeSettings, dt, rng):
+    """deform_floe! (fractures.jl:310-357): carve the largest-overlap
+    collision site out of a fracturing floe before splitting it.
+
+    Deviation from the reference: the displacement direction uses the
+    centroid-to-centroid axis instead of the recorded contact-force vector
+    (per-pair force vectors are not materialized in the batched pipeline);
+    magnitude and the >90%-area acceptance check are identical.
+    """
+    f = hf.fields
+    ring = hf.ring(i)
+    regions = host_clip.intersect(ring, deformer_ring)
+    if not regions:
+        return
+    areas = [poly_area_np(r) for r in regions]
+    region = regions[int(np.argmax(areas))]
+    if max(areas) <= 0:
+        return
+    rc = poly_centroid_np(region)
+    # distance from region centroid to region boundary
+    dmin = np.inf
+    n = len(region)
+    for k in range(n):
+        a, b = region[k], region[(k + 1) % n]
+        seg = b - a
+        L2 = seg @ seg
+        t = np.clip(((rc - a) @ seg) / max(L2, 1e-30), 0, 1)
+        dmin = min(dmin, np.linalg.norm(rc - (a + t * seg)))
+    dc = poly_centroid_np(ring) - poly_centroid_np(deformer_ring)
+    nrm = np.linalg.norm(dc)
+    if nrm == 0:
+        return
+    delta = abs(dmin) * dc / (2 * nrm)
+    moved = deformer_ring + delta
+    pieces = host_clip.difference(ring, moved)
+    if not pieces:
+        return
+    p_areas = [poly_area_np(p) for p in pieces]
+    best = int(np.argmax(p_areas))
+    if p_areas[best] > 0 and p_areas[best] / f["area"][i] > 0.9:
+        moment_tmp = f["moment"][i]
+        x_tmp, y_tmp = f["centroid"][i]
+        hf.replace_floe(i, pieces[best], f["mass"][i], fs, rng)
+        conserve_momentum_change_floe_shape(
+            f["mass"][i], moment_tmp, x_tmp, y_tmp, dt, hf, i
+        )
+
+
 def fracture_floes(
     floes: FloeState,
     max_floe_id: int,
@@ -357,14 +405,29 @@ def fracture_floes(
     frac_settings: FractureSettings,
     fs: FloeSettings,
     dt,
+    overlaps=None,
 ):
-    """fracture_floes! (fractures.jl:461-532). Returns (FloeState, max_id)."""
+    """fracture_floes! (fractures.jl:461-532). Returns (FloeState, max_id).
+
+    ``overlaps``: optional list of (i, j, area) pairs from the collision
+    step, used to pick each fracturing floe's largest-overlap deformer when
+    ``deform_on`` is set.
+    """
     hf = HostFloes(floes)
     frac_idx = determine_fractures(hf, frac_settings.criteria, fs)
     if not frac_idx:
         return floes, max_floe_id
     f = hf.fields
+    deformer_of = {}
+    if frac_settings.deform_on and overlaps:
+        best = {}
+        for (i, j, a) in overlaps:
+            if j >= 0 and a > best.get(i, (0.0, -1))[0]:
+                best[int(i)] = (float(a), int(j))
+        deformer_of = {i: j for i, (a, j) in best.items()}
     for i in frac_idx:
+        if frac_settings.deform_on and i in deformer_of:
+            deform_floe(hf, i, hf.ring(deformer_of[i]), fs, dt, rng)
         pieces = split_floe(hf, i, rng, frac_settings, fs, dt)
         if not pieces:
             continue
@@ -457,9 +520,13 @@ def smooth_floes(
     fs: FloeSettings,
     dt,
     rng,
+    max_overlap_frac: float = 0.55,
 ):
     """smooth_floes! (simplification.jl:56-121): Douglas-Peucker style vertex
-    reduction for floes over max_vertices, conserving mass and momentum."""
+    reduction for floes over max_vertices, conserving mass and momentum.
+    If the smoothed shape overlaps a neighbor by more than
+    ``max_overlap_frac`` of the neighbor's area, the pair is marked for
+    fusion (simplification.jl:99-118)."""
     nv = np.array(floes.nverts)
     act = np.array(floes.active)
     over = act & (nv > simp_settings.max_vertices)
@@ -478,6 +545,19 @@ def smooth_floes(
         conserve_momentum_change_floe_shape(
             f["mass"][i], moment_tmp, x_tmp, y_tmp, dt, hf, i
         )
+        # post-smoothing overlap check against bounding-circle neighbors
+        for j in np.nonzero(f["active"] & ~f["remove"])[0]:
+            if j == i:
+                continue
+            dc = f["centroid"][i] - f["centroid"][j]
+            if (dc @ dc) >= (f["rmax"][i] + f["rmax"][j]) ** 2:
+                continue
+            inter = sum(
+                poly_area_np(p)
+                for p in host_clip.intersect(hf.ring(i), hf.ring(j))
+            )
+            if inter / f["area"][j] > max_overlap_frac:
+                f["fuse_with"][i] = j
     return hf.to_state()
 
 

@@ -221,8 +221,21 @@ def _host_lifecycle_passes(sim, floes, domain, tstep, rng, state):
     # fracture (simulation.jl:172-182)
     fr = sim.fracture_settings
     if fr.fractures_on and fr.dt > 0 and tstep % fr.dt == 0 and tstep > 0:
+        overlaps = None
+        if fr.deform_on:
+            i, j, area, valid = _collisions.pair_overlaps(
+                floes, domain, sim.pair_cap, sim.clip_cap, sim.bins
+            )
+            mask = np.asarray(valid)
+            overlaps = list(
+                zip(
+                    np.asarray(i)[mask].tolist(),
+                    np.asarray(j)[mask].tolist(),
+                    np.asarray(area)[mask].tolist(),
+                )
+            )
         floes, state["max_floe_id"] = _lifecycle.fracture_floes(
-            floes, state["max_floe_id"], rng, fr, fs, dt
+            floes, state["max_floe_id"], rng, fr, fs, dt, overlaps
         )
 
     # welding (simulation.jl:185-202)
