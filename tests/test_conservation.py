@@ -111,6 +111,29 @@ class TestConservation:
         )
         assert all(abs(v) < 1 for v in drift.values()), drift
 
+    def test_complex_shapes(self):
+        # realistic non-convex floe outlines from the reference fixture
+        # (test_conservation.jl:159-205 uses the same shapes; <2.1% drift)
+        from subzero_tpu.tools.fixtures import load_floe_shapes
+
+        shapes = load_floe_shapes(max_verts=30)
+        # take two mid-sized shapes and place them on a collision course
+        a = shapes[1] - shapes[1].mean(0)
+        b = shapes[3] - shapes[3].mean(0)
+        ra = np.abs(a).max()
+        rb = np.abs(b).max()
+        a = a + np.array([4e4, 4e4])
+        b = b + np.array([4e4 + ra + rb + 2e3, 4e4])
+        domain = make_domain(GRID, O, O, O, O, dtype=jnp.float64)
+        drift, sim = conservation_run(
+            domain,
+            [a, b],
+            us=[0.15, -0.1],
+            vs=[0.02, 0.015],
+            xis=[1e-7, 0.0],
+        )
+        assert all(abs(v) < 2.1 for v in drift.values()), drift
+
     def test_collision_walls_ke_bounded(self):
         # with collision walls momentum is exchanged with the walls, but
         # energy must not grow (cf. wall scenarios in test_conservation.jl)
