@@ -272,6 +272,14 @@ def build_floes(
         ring = np.asarray(c, float)
         if len(ring) > 1 and np.allclose(ring[0], ring[-1]):
             ring = ring[:-1]
+        # drop duplicate adjacent vertices (valid_ringvec! analog)
+        keep = [0]
+        for k in range(1, len(ring)):
+            if not np.allclose(ring[k], ring[keep[-1]]):
+                keep.append(k)
+        ring = ring[keep]
+        if len(ring) > V:
+            raise ValueError(f"floe has {len(ring)} vertices > capacity {V}")
         # CCW orientation
         x, y = ring[:, 0], ring[:, 1]
         if 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
@@ -328,14 +336,23 @@ def build_floes(
     sub_y = np.zeros((N, P))
     nsub = np.zeros((N,), np.int32)
     height_a = np.zeros((N,))
+    cent = np.zeros((N, 2))
+    area_a = np.zeros((N,))
+    moment_a = np.zeros((N,))
+    rmax_a = np.zeros((N,))
     active = np.zeros((N,), bool)
     remove = np.zeros((N,), bool)
     ids = np.zeros((N,), np.int32)
 
     for i, (ring, area, height) in enumerate(rows):
-        pv, pn = pad_polygon(ring, V, dtype=jnp.float64)
-        verts[i] = np.asarray(pv)
-        nverts[i] = int(pn)
+        n = len(ring)
+        verts[i, :n] = ring
+        verts[i, n:] = ring[-1]
+        nverts[i] = n
+        cent[i] = poly_centroid_np(ring)
+        area_a[i] = area
+        moment_a[i] = moment_inertia_np(ring, cent[i], height, floe_settings.rho_i)
+        rmax_a[i] = np.sqrt(((ring - cent[i]) ** 2).sum(axis=1).max())
         mx, my = subs[i]
         sub_x[i, : len(mx)] = mx
         sub_y[i, : len(my)] = my
@@ -345,27 +362,15 @@ def build_floes(
         remove[i] = not statuses[i]
         ids[i] = i + 1
 
-    verts_j = jnp.asarray(verts, dtype=dtype)
-    nverts_j = jnp.asarray(nverts)
-    cent = jax.vmap(poly_centroid)(verts_j, nverts_j)
-    area_j = jax.vmap(poly_area)(verts_j, nverts_j)
-    hj = jnp.asarray(height_a, dtype=dtype)
-    mass = area_j * hj * floe_settings.rho_i
-    moment = jax.vmap(
-        lambda vv, nn, cc, hh: poly_moment_inertia(vv, nn, cc, hh, floe_settings.rho_i)
-    )(verts_j, nverts_j, cent, hj)
-    rmax_j = jax.vmap(max_radius)(verts_j, nverts_j, cent)
-
-    zero_mask = ~jnp.asarray(active)
     fl = st._replace(
-        verts=verts_j,
-        nverts=nverts_j,
-        centroid=jnp.where(zero_mask[:, None], 0.0, cent).astype(dtype),
-        height=hj,
-        area=jnp.where(zero_mask, 0.0, area_j).astype(dtype),
-        mass=jnp.where(zero_mask, 0.0, mass).astype(dtype),
-        rmax=jnp.where(zero_mask, 0.0, rmax_j).astype(dtype),
-        moment=jnp.where(zero_mask, 0.0, moment).astype(dtype),
+        verts=jnp.asarray(verts, dtype=dtype),
+        nverts=jnp.asarray(nverts),
+        centroid=jnp.asarray(cent, dtype=dtype),
+        height=jnp.asarray(height_a, dtype=dtype),
+        area=jnp.asarray(area_a, dtype=dtype),
+        mass=jnp.asarray(area_a * height_a * floe_settings.rho_i, dtype=dtype),
+        rmax=jnp.asarray(rmax_a, dtype=dtype),
+        moment=jnp.asarray(moment_a, dtype=dtype),
         sub_x=jnp.asarray(sub_x, dtype=dtype),
         sub_y=jnp.asarray(sub_y, dtype=dtype),
         nsub=jnp.asarray(nsub),
@@ -386,3 +391,16 @@ def poly_centroid_np(ring):
     cx = np.sum((x + np.roll(x, -1)) * cr) / (6 * A)
     cy = np.sum((y + np.roll(y, -1)) * cr) / (6 * A)
     return np.array([cx, cy])
+
+
+def moment_inertia_np(ring, cent, height, rho_i):
+    """Reference _calc_moment_inertia (floe_utils.jl:273-298), including its
+    double-centroid-shift quirk (see poly_moment_inertia)."""
+    xc, yc = cent
+    pts = np.concatenate([ring, ring[:1]], axis=0) - np.asarray(cent)
+    x1, y1 = pts[:-1, 0], pts[:-1, 1]
+    x2, y2 = pts[1:, 0], pts[1:, 1]
+    w = (x1 - xc) * (y2 - yc) - (x2 - xc) * (y1 - yc)
+    Ixx = np.sum(w * (y1 * y1 + y1 * y2 + y2 * y2)) / 12.0
+    Iyy = np.sum(w * (x1 * x1 + x1 * x2 + x2 * x2)) / 12.0
+    return abs(Ixx + Iyy) * height * rho_i

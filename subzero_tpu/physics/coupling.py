@@ -351,16 +351,9 @@ def _clip_area_to_rects(verts, nverts, xmin, xmax, ymin, ymax, ok):
     affect the area integral).
     """
     N, V, _ = verts.shape
-    a, b = xmin.shape[1], xmin.shape[2]
 
-    def clip_halfplane_area(pts, cnt, sign_axis, bound, last):
-        """One S-H clip step on padded ring pts [V2,2] against
-        sign_axis * coord <= sign_axis * bound. Returns new ring + count, or
-        on the last clip, the signed area directly."""
-        raise NotImplementedError
-
-    # Instead of a generic loop, clip against 4 half-planes with a fixed
-    # output capacity of V + 4 vertices.
+    # Clip against 4 half-planes with a fixed output capacity of V + 4
+    # vertices.
     V2 = V + 4
 
     def one(pv, pn, x0_, x1_, y0_, y1_):

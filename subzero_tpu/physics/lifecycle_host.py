@@ -152,7 +152,11 @@ def _decimate_ring(ring, max_v):
         best, bestd = 0, np.inf
         for k in range(n):
             p0, p1, p2 = ring[k - 1], ring[k], ring[(k + 1) % n]
-            d = abs(np.cross(p2 - p0, p1 - p0)) / max(np.linalg.norm(p2 - p0), 1e-12)
+            seg = p2 - p0
+            rel = p1 - p0
+            d = abs(seg[0] * rel[1] - seg[1] * rel[0]) / max(
+                np.linalg.norm(seg), 1e-12
+            )
             if d < bestd:
                 best, bestd = k, d
         ring.pop(best)
@@ -582,7 +586,8 @@ def _rdp(ring, tol):
         if L == 0:
             d = np.linalg.norm(chain - p0, axis=1)
         else:
-            d = np.abs(np.cross(seg, chain - p0)) / L
+            rel = chain - p0
+            d = np.abs(seg[0] * rel[:, 1] - seg[1] * rel[:, 0]) / L
         k = int(np.argmax(d))
         if d[k] > tol:
             left = rdp_open(chain[: k + 1])
