@@ -55,9 +55,12 @@ def remove_and_dissolve(
 
     gone = floes.remove | dissolve
     new_active = act & ~gone
+    # NOTE: fuse_with is NOT reset here - the host fusion pass after the
+    # device step consumes it (and resets it itself); removed floes can't
+    # fuse anymore, so just mask their flags
     floes = floes._replace(
         active=new_active,
         remove=jnp.zeros_like(floes.remove),
-        fuse_with=jnp.full_like(floes.fuse_with, -1),
+        fuse_with=jnp.where(new_active, floes.fuse_with, -1),
     )
     return floes, ocean

@@ -1,0 +1,87 @@
+"""Integration tests of the run() driver: process wiring, fusion trigger,
+host life-cycle pass plumbing."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from subzero_tpu.constants import Constants
+from subzero_tpu.core import (
+    BoundaryKind,
+    make_atmos,
+    make_domain,
+    make_grid,
+    make_model,
+    make_ocean,
+)
+from subzero_tpu.core.floes import build_floes
+from subzero_tpu.settings import (
+    CollisionSettings,
+    CouplingSettings,
+    FloeSettings,
+    SubGridPointsGenerator,
+)
+from subzero_tpu.simulation import Simulation, run
+
+GRID = make_grid(0.0, 1e5, 0.0, 1e5, Nx=10, Ny=10)
+FSET = FloeSettings(
+    min_floe_area=1e5, subfloe_point_generator=SubGridPointsGenerator(2e3)
+)
+
+
+def test_run_fuses_marked_pairs():
+    # two floes overlapping >55%: the collision step marks them fuse and the
+    # host pass must union them within one run() step
+    sq1 = [[4e4, 4e4], [5e4, 4e4], [5e4, 5e4], [4e4, 5e4]]
+    sq2 = [[4.2e4, 4e4], [5.2e4, 4e4], [5.2e4, 5e4], [4.2e4, 5e4]]
+    floes = build_floes(
+        [sq1, sq2], 0.25, 0.0, FSET, np.random.default_rng(0),
+        dtype=jnp.float64, N=4,
+    )
+    domain = make_domain(GRID, *([BoundaryKind.OPEN] * 4), dtype=jnp.float64)
+    model = make_model(
+        GRID,
+        make_ocean(GRID, 0, 0, 0, dtype=jnp.float64),
+        make_atmos(GRID, 0, 0, 0, dtype=jnp.float64),
+        domain,
+        floes,
+    )
+    m0 = float(jnp.sum(jnp.where(floes.active, floes.mass, 0.0)))
+    sim = Simulation(
+        model=model,
+        consts=Constants(E=1e6),
+        dt=10,
+        n_dt=1,
+        floe_settings=FSET,
+        coupling_settings=CouplingSettings(coupling_on=False),
+    )
+    sim = run(sim)
+    out = sim.model.floes
+    act = np.asarray(out.active)
+    assert act.sum() == 1
+    keep = int(np.nonzero(act)[0][0])
+    assert np.isclose(float(out.mass[keep]), m0, rtol=1e-9)
+    # union area ~ 1.2e4 wide x 1e4 tall
+    assert np.isclose(float(out.area[keep]), 1.2e8, rtol=1e-3)
+
+
+def test_open_boundary_removal_in_run():
+    sq = [[-1e3, 4e4], [5e3, 4e4], [5e3, 5e4], [-1e3, 5e4]]  # crosses west
+    floes = build_floes(
+        [sq], 0.25, 0.0, FSET, np.random.default_rng(0), dtype=jnp.float64, N=2
+    )
+    domain = make_domain(GRID, *([BoundaryKind.OPEN] * 4), dtype=jnp.float64)
+    model = make_model(
+        GRID,
+        make_ocean(GRID, 0, 0, 0, dtype=jnp.float64),
+        make_atmos(GRID, 0, 0, 0, dtype=jnp.float64),
+        domain,
+        floes,
+    )
+    sim = Simulation(
+        model=model, consts=Constants(E=1e6), dt=10, n_dt=1,
+        floe_settings=FSET,
+        coupling_settings=CouplingSettings(coupling_on=False),
+    )
+    sim = run(sim)
+    assert int(sim.model.floes.count()) == 0
