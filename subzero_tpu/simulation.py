@@ -274,6 +274,9 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
     (mirroring write_data!'s position in timestep_sim!, simulation.jl:105);
     used by output writers.
     """
+    from .io.logger import SimulationLogger
+
+    logger = SimulationLogger(sim.name)
     step = build_step(sim)
     floes = sim.model.floes
     ocean = sim.model.ocean
@@ -305,6 +308,11 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
         )
         if bool(overflow):
             n_overflow += 1
+            logger.warn(
+                "pair/crossing capacity exceeded; contact forces may be "
+                "incomplete this step",
+                tstep,
+            )
         if has_host_ops:
             floes = _host_lifecycle_passes(sim, floes, domain, tstep, rng, state)
         tstep += 1
@@ -317,5 +325,6 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
         )
     if sim.writers is not None:
         sim.writers.close()
+    logger.close()
     sim.model = sim.model.replace(floes=floes, ocean=ocean, domain=domain)
     return sim
