@@ -346,6 +346,219 @@ def intersect_area(pv, pn, qv, qn, CAP: int = DEFAULT_CAP):
     return intersect_regions(pv, pn, qv, qn, CAP=CAP).total_area
 
 
+class TwoCrossResult(NamedTuple):
+    """Fused stage-1 + single-region narrow phase over a pair batch.
+
+    All arrays have leading batch shape [B].  ``cnt``/``contain`` replace
+    count_crossings; when ``ok`` is True the pair has exactly two proper
+    boundary crossings forming one overlap region whose quantities are given
+    directly (area/centroid/chord/p_norm, matching what intersect_regions
+    would return in its single-region slot). Pairs with ``cnt > 2`` (or a
+    parity violation) must go through the general intersect_regions kernel.
+    """
+
+    cnt: jnp.ndarray        # [B] number of proper boundary crossings
+    contain: jnp.ndarray    # [B] containment area for cnt == 0 pairs
+    ok: jnp.ndarray         # [B] cnt==2 with clean enter/exit parity
+    area: jnp.ndarray       # [B] region area (valid where ok)
+    centroid: jnp.ndarray   # [B, 2]
+    chord_a: jnp.ndarray    # [B, 2] entering crossing point
+    chord_b: jnp.ndarray    # [B, 2] exiting crossing point
+    p_norm: jnp.ndarray     # [B, 2] inward-normal sum over the P-chain
+
+
+def _ring_pm(v, n):
+    """Pair-minor ring edges: v [B, V, 2], n [B] ->
+    (ax, ay, bx, by, em) each [V, B]; em masks valid edges."""
+    V = v.shape[-2]
+    ax = jnp.moveaxis(v[..., 0], -1, 0)  # [V, B]
+    ay = jnp.moveaxis(v[..., 1], -1, 0)
+    idx = jnp.arange(V)[:, None]
+    em = idx < n[None, :]
+    # b[i] = v[i+1], with the ring closed at i == n-1 -> v[0]
+    bx = jnp.roll(ax, -1, axis=0)
+    by = jnp.roll(ay, -1, axis=0)
+    wrap = idx == (n[None, :] - 1)
+    bx = jnp.where(wrap, ax[0][None, :], bx)
+    by = jnp.where(wrap, ay[0][None, :], by)
+    return ax, ay, bx, by, em
+
+
+def _pip_pm(px, py, ax, ay, bx, by, em):
+    """Pair-minor point-in-polygon (crossing number): px, py [B]; ring
+    arrays [W, B] -> bool [B]."""
+    cond = (ay > py[None, :]) != (by > py[None, :])
+    dy = by - ay
+    tt = (py[None, :] - ay) / jnp.where(dy == 0, 1.0, dy)
+    xint = ax + tt * (bx - ax)
+    hits = jnp.sum((cond & em & (px[None, :] < xint)).astype(jnp.int32), axis=0)
+    return (hits % 2) == 1
+
+
+def _seg_pm(x1, y1, x2, y2):
+    """Shoelace/centroid integrals of one directed segment, batched [B]."""
+    cr = x1 * y2 - x2 * y1
+    return 0.5 * cr, (x1 + x2) * cr, (y1 + y2) * cr
+
+
+def _chain_pm(axv, ayv, bxv, byv, n, e_in, t_in, Xin_x, Xin_y,
+              e_out, t_out, Xout_x, Xout_y):
+    """Line integrals along the ring arc from crossing ``Xin`` (on edge
+    ``e_in`` at parameter ``t_in``) forward to ``Xout`` (edge ``e_out``).
+
+    Ring arrays [V, B]; everything else [B].  Pure elementwise masked sums -
+    the cyclic run of full edges strictly between the crossings is selected
+    with modular index arithmetic instead of prefix sums + gathers.
+    """
+    V = axv.shape[0]
+    nsafe = jnp.maximum(n, 1)[None, :]
+    idx = jnp.arange(V)[:, None]
+    same = (e_in == e_out) & (t_out > t_in)
+
+    # vertex lookups as masked sums (no gathers)
+    sel_in = idx == e_in[None, :]
+    sel_out = idx == e_out[None, :]
+    b_in_x = jnp.sum(jnp.where(sel_in, bxv, 0.0), axis=0)
+    b_in_y = jnp.sum(jnp.where(sel_in, byv, 0.0), axis=0)
+    a_out_x = jnp.sum(jnp.where(sel_out, axv, 0.0), axis=0)
+    a_out_y = jnp.sum(jnp.where(sel_out, ayv, 0.0), axis=0)
+
+    # full edges strictly between e_in and e_out (cyclic, open interval)
+    cnt_full = jnp.mod(e_out - e_in - 1, nsafe[0])  # [B]
+    e0 = jnp.mod(e_in + 1, nsafe[0])
+    inrun = (jnp.mod(idx - e0[None, :], nsafe) < cnt_full[None, :]) & (idx < n[None, :])
+    cr = axv * byv - bxv * ayv
+    S_run = 0.5 * jnp.sum(jnp.where(inrun, cr, 0.0), axis=0)
+    MX_run = jnp.sum(jnp.where(inrun, (axv + bxv) * cr, 0.0), axis=0)
+    MY_run = jnp.sum(jnp.where(inrun, (ayv + byv) * cr, 0.0), axis=0)
+
+    S1, MX1, MY1 = _seg_pm(Xin_x, Xin_y, Xout_x, Xout_y)
+    Sp1, MXp1, MYp1 = _seg_pm(Xin_x, Xin_y, b_in_x, b_in_y)
+    Sp2, MXp2, MYp2 = _seg_pm(a_out_x, a_out_y, Xout_x, Xout_y)
+    S = jnp.where(same, S1, Sp1 + S_run + Sp2)
+    MX = jnp.where(same, MX1, MXp1 + MX_run + MXp2)
+    MY = jnp.where(same, MY1, MYp1 + MY_run + MYp2)
+    return S, MX, MY
+
+
+def two_cross_pass(pv, pn, qv, qn, perturb) -> TwoCrossResult:
+    """Fused crossing count + containment + single-region quantities for a
+    batch of candidate pairs, laid out pair-minor for the TPU VPU (the pair
+    axis rides the 128-lane dimension; V and W are leading axes).
+
+    pv: [B, V, 2], pn: [B], qv: [B, W, 2] (already shifted), qn: [B],
+    perturb: [B] degeneracy-breaking offset applied to Q.
+
+    This is the collision narrow phase for the common case: exactly two
+    proper boundary crossings => one overlap region bounded by the P-chain
+    (enter -> exit along P) and the Q-chain (exit -> enter along Q), whose
+    integrals reduce to masked elementwise sums.  Replaces the general
+    sort/compact/cycle kernel (intersect_regions) for such pairs; pairs with
+    more crossings are flagged for the general kernel.
+    """
+    dtype = pv.dtype
+    off = jnp.asarray([0.6180339887498949, 1.0], dtype)
+    qv = qv + perturb[:, None, None] * off
+
+    pax, pay, pbx, pby, pe_m = _ring_pm(pv, pn)   # [V, B]
+    qax, qay, qbx, qby, qe_m = _ring_pm(qv, qn)   # [W, B]
+
+    # ---- all proper edge-pair crossings, [V, W, B] -------------------------
+    rx = (pbx - pax)[:, None, :]
+    ry = (pby - pay)[:, None, :]
+    sx = (qbx - qax)[None, :, :]
+    sy = (qby - qay)[None, :, :]
+    d0x = qax[None, :, :] - pax[:, None, :]
+    d0y = qay[None, :, :] - pay[:, None, :]
+    denom = rx * sy - ry * sx
+    denom_safe = jnp.where(denom == 0, 1.0, denom)
+    t = (d0x * sy - d0y * sx) / denom_safe
+    u = (d0x * ry - d0y * rx) / denom_safe
+    eps = jnp.asarray(1e-12, dtype)
+    proper = (
+        (denom != 0)
+        & (t > eps) & (t < 1 - eps)
+        & (u > eps) & (u < 1 - eps)
+        & pe_m[:, None, :] & qe_m[None, :, :]
+    )
+    cnt = jnp.sum(proper.astype(jnp.int32), axis=(0, 1))  # [B]
+
+    # crossing point coordinates (only where proper)
+    cxp = pax[:, None, :] + t * rx
+    cyp = pay[:, None, :] + t * ry
+    enter = proper & (denom < 0)   # boundary leaves along P (P enters Q)
+    exit_ = proper & (denom >= 0)
+
+    iV = jax.lax.broadcasted_iota(jnp.int32, (pv.shape[1], qv.shape[1], 1), 0)
+    iW = jax.lax.broadcasted_iota(jnp.int32, (pv.shape[1], qv.shape[1], 1), 1)
+
+    def pick(w, x):
+        return jnp.sum(jnp.where(w, x, 0), axis=(0, 1))
+
+    n_en = jnp.sum(enter.astype(jnp.int32), axis=(0, 1))
+    ok = (cnt == 2) & (n_en == 1)
+
+    Xen_x = pick(enter, cxp)
+    Xen_y = pick(enter, cyp)
+    Xex_x = pick(exit_, cxp)
+    Xex_y = pick(exit_, cyp)
+    e_en = pick(enter, iV)
+    f_en = pick(enter, iW)
+    e_ex = pick(exit_, iV)
+    f_ex = pick(exit_, iW)
+    t_en = pick(enter, t)
+    u_en = pick(enter, u)
+    t_ex = pick(exit_, t)
+    u_ex = pick(exit_, u)
+
+    # ---- region integrals: P-chain (enter->exit), Q-chain (exit->enter) ----
+    S_P, MX_P, MY_P = _chain_pm(
+        pax, pay, pbx, pby, pn, e_en, t_en, Xen_x, Xen_y,
+        e_ex, t_ex, Xex_x, Xex_y,
+    )
+    S_Q, MX_Q, MY_Q = _chain_pm(
+        qax, qay, qbx, qby, qn, f_ex, u_ex, Xex_x, Xex_y,
+        f_en, u_en, Xen_x, Xen_y,
+    )
+    S = S_P + S_Q
+
+    # areas of the inputs (for sanity clamp + containment)
+    crP = pax * pby - pbx * pay
+    areaP = jnp.abs(0.5 * jnp.sum(jnp.where(pe_m, crP, 0.0), axis=0))
+    crQ = qax * qby - qbx * qay
+    areaQ = jnp.abs(0.5 * jnp.sum(jnp.where(qe_m, crQ, 0.0), axis=0))
+    max_reasonable = jnp.minimum(areaP, areaQ) * (1 + 1e-6)
+    ok = ok & (S > 0) & (S <= max_reasonable)
+    area = jnp.where(ok, S, 0.0)
+    denom_c = jnp.where(ok, 6.0 * S, 1.0)
+    cx = jnp.where(ok, (MX_P + MX_Q) / denom_c, 0.0)
+    cy = jnp.where(ok, (MY_P + MY_Q) / denom_c, 0.0)
+
+    # ---- containment fallback for cnt == 0 ---------------------------------
+    p_in_q = _pip_pm(pax[0], pay[0], qax, qay, qbx, qby, qe_m)
+    q_in_p = _pip_pm(qax[0], qay[0], pax, pay, pbx, pby, pe_m)
+    contain = jnp.where(
+        cnt == 0,
+        jnp.where(p_in_q, areaP, jnp.where(q_in_p, areaQ, 0.0)),
+        0.0,
+    )
+
+    # P-chain inward-normal sum telescopes to rot90(Xex - Xen)
+    pnx = -(Xex_y - Xen_y)
+    pny = Xex_x - Xen_x
+
+    return TwoCrossResult(
+        cnt=cnt,
+        contain=contain,
+        ok=ok,
+        area=area,
+        centroid=jnp.stack([cx, cy], axis=-1),
+        chord_a=jnp.stack([Xen_x, Xen_y], axis=-1),
+        chord_b=jnp.stack([Xex_x, Xex_y], axis=-1),
+        p_norm=jnp.stack([pnx, pny], axis=-1),
+    )
+
+
 def count_crossings(pv, pn, qv, qn, perturb=0.0):
     """Cheap stage-1 narrow-phase filter: number of proper boundary
     crossings between two padded rings, plus the containment intersection

@@ -41,7 +41,13 @@ from ..core.domain import (
     wall_rect,
 )
 from ..core.floes import FloeState
-from ..geometry.clip import DEFAULT_CAP, count_crossings, intersect_regions
+from ..geometry.clip import (
+    ClipRegions,
+    DEFAULT_CAP,
+    count_crossings,
+    intersect_regions,
+    two_cross_pass,
+)
 from ..settings import CollisionSettings
 
 # Q-pool layout: [0, N) floes, [N, N+4) walls (N,S,E,W), [N+4, N+4+T) topo
@@ -390,30 +396,232 @@ def pair_overlaps(
     scale0 = floes.rmax[i0] + jnp.where(
         q_is_floe, floes.rmax[jnp.minimum(j0, N - 1)], floes.rmax[i0]
     )
-    cnt0, contain0 = jax.vmap(count_crossings)(
+    perturb0 = eps_rel * scale0
+    tc = two_cross_pass(
         floes.verts[i0],
         floes.nverts[i0],
         q_verts[j0] + pairs.shift[:, None, :],
         q_n[j0],
-        eps_rel * scale0,
+        perturb0,
     )
-    # full region areas only where crossings exist
+    # multi-region / degenerate pairs through the general kernel
+    slow_cap = max(pair_cap // 32, 32)
+    slow_mask = pairs.valid & (tc.cnt > 0) & ~tc.ok
+    (ssel,) = jnp.nonzero(slow_mask, size=slow_cap, fill_value=pair_cap)
+    svalid = ssel < pair_cap
+    ssafe = jnp.minimum(ssel, pair_cap - 1)
     regions = jax.vmap(
         lambda a, b, c, d, p: intersect_regions(a, b, c, d, CAP=clip_cap, perturb=p)
     )(
-        floes.verts[i0],
-        floes.nverts[i0],
-        q_verts[j0] + pairs.shift[:, None, :],
-        q_n[j0],
-        eps_rel * scale0,
+        floes.verts[i0[ssafe]],
+        floes.nverts[i0[ssafe]],
+        q_verts[j0[ssafe]] + pairs.shift[ssafe][:, None, :],
+        q_n[j0[ssafe]],
+        perturb0[ssafe],
     )
-    area = jnp.where(cnt0 > 0, regions.total_area, contain0)
+    slow_total = jnp.where(svalid, regions.total_area, 0.0)
+    area = (
+        tc.contain
+        + jnp.where(tc.ok, tc.area, 0.0)
+        + jnp.zeros_like(tc.area).at[ssafe].add(slow_total)
+    )
     valid = pairs.valid & (area > 0)
     # encode j: floes stay as pool index; walls -> -1..-4; topo -> -5-t
     j_enc = jnp.where(
         j0 < N, j0, jnp.where(j0 < N + 4, -(j0 - N) - 1, -(j0 - N - 4) - 5)
     )
     return i0, j_enc, area, valid
+
+
+class _QPool(NamedTuple):
+    """Arrays over the Q pool: [0, N) floes, [N, N+4) walls, [N+4, ...) topo."""
+
+    q_n: jnp.ndarray
+    q_u: jnp.ndarray
+    q_v: jnp.ndarray
+    q_xi: jnp.ndarray
+    q_cent: jnp.ndarray
+    q_height: jnp.ndarray
+    q_area: jnp.ndarray
+    q_is_floe: jnp.ndarray
+    q_wall_id: jnp.ndarray
+
+
+def _region_forces(
+    floes: FloeState,
+    consts: Constants,
+    dt: float,
+    vals: jnp.ndarray,
+    i: jnp.ndarray,          # [K] P-side floe index
+    j: jnp.ndarray,          # [K] Q-pool index
+    shift: jnp.ndarray,      # [K, 2] periodic image shift applied to Q
+    regions: ClipRegions,    # fields [K, R]
+    pair_on: jnp.ndarray,    # [K] pair eligible for contact force
+    q: _QPool,
+):
+    """Hopkins elastic + Coulomb friction forces for one contact list.
+
+    The per-region force recipe of calc_elastic_forces / calc_normal_force /
+    calc_friction_forces (collisions.jl:30-283) plus the wall
+    normal-direction correction (boundaries.jl:37-148).
+    Returns (force [K,R,2], fp [K,R,2], overlap_rec [K,R]).
+    """
+    dtype = regions.area.dtype
+
+    # ------- force factor (collisions.jl:371-379, 528) ---------------------
+    area_i = floes.area[i]
+    hi = floes.height[i]
+    ri = jnp.sqrt(area_i)
+    hj = q.q_height[j]
+    rj = jnp.sqrt(jnp.where(q.q_is_floe[j], q.q_area[j], 1.0))
+    ff_big = consts.E * jnp.minimum(hi, hj) / jnp.minimum(ri, rj)
+    ff_std = consts.E * (hi * hj) / (hi * rj + hj * ri)
+    ff_floe = jnp.where((ri > 1e5) | (rj > 1e5), ff_big, ff_std)
+    ff_dom = consts.E * hi / ri
+    force_factor = jnp.where(q.q_is_floe[j], ff_floe, ff_dom)
+
+    # ------- per-region elastic normal forces ------------------------------
+    # region min-area filter (calc_elastic_forces, collisions.jl:158-169)
+    min_area = (
+        jnp.minimum(floes.nverts[i], q.q_n[j]).astype(dtype) * 100.0 / 1.75
+    )
+    reg_ok = regions.valid & (regions.area >= min_area[:, None]) & pair_on[:, None]
+
+    chord = regions.chord_b - regions.chord_a
+    chord_len = jnp.linalg.norm(chord, axis=-1)
+    two_pts = regions.n_cross == 2
+    # 2-crossing case: direction perpendicular to the chord, sign chosen to
+    # reduce the overlap = aligned with the P-chain inward-normal sum
+    perp = jnp.stack([-chord[..., 1], chord[..., 0]], axis=-1)
+    sgn = jnp.sign(jnp.sum(perp * regions.p_norm, axis=-1))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    dir2 = perp * sgn[..., None] / jnp.maximum(chord_len, 1e-30)[..., None]
+    dl2 = chord_len
+    # many-crossing case (_many_intersect_normal_force!, collisions.jl:78-119)
+    pn_norm = jnp.linalg.norm(regions.p_norm, axis=-1)
+    dirM = regions.p_norm / jnp.maximum(pn_norm, 1e-30)[..., None]
+    p_cnt = regions.p_cnt
+    dlM = regions.p_len / jnp.maximum(p_cnt, 1).astype(dtype)
+    # reference condition 0 < n_pts < npoints(region)-1: require a Q chain too
+    manyok = (p_cnt > 0) & (regions.q_cnt > 0)
+
+    dl = jnp.where(two_pts, dl2, jnp.where(manyok, dlM, 0.0))
+    fdir = jnp.where(
+        two_pts[..., None], dir2, jnp.where(manyok[..., None], dirM, 0.0)
+    )
+    # overlap-too-small gate (collisions.jl:51, 112)
+    force_on = reg_ok & (dl > 0.1)
+    normal_force = (
+        fdir * (regions.area * force_factor[:, None])[..., None]
+    ) * force_on[..., None]
+
+    # ------- wall normal-direction correction (boundaries.jl:37-148) -------
+    fp = regions.centroid  # [K, R, 2] force application points
+    is_wall = (q.q_wall_id[j] >= 0) & (q.q_wall_id[j] < 4)
+    wid = jnp.clip(q.q_wall_id[j], 0, 3)
+    wall_val = vals[wid]
+    # N: fp.y >= val -> zero x force; S: fp.y <= val -> zero x
+    # E: fp.x >= val -> zero y;       W: fp.x <= val -> zero y
+    zx = (
+        ((wid == NORTH)[:, None] & (fp[..., 1] >= wall_val[:, None]))
+        | ((wid == SOUTH)[:, None] & (fp[..., 1] <= wall_val[:, None]))
+    )
+    zy = (
+        ((wid == EAST)[:, None] & (fp[..., 0] >= wall_val[:, None]))
+        | ((wid == WEST)[:, None] & (fp[..., 0] <= wall_val[:, None]))
+    )
+    nx = jnp.where(is_wall[:, None] & zx, 0.0, normal_force[..., 0])
+    ny = jnp.where(is_wall[:, None] & zy, 0.0, normal_force[..., 1])
+    normal_force = jnp.stack([nx, ny], axis=-1)
+
+    # ------- friction (calc_friction_forces, collisions.jl:243-283) --------
+    G = consts.E / (2.0 * (1.0 + consts.nu))
+    nnorm = jnp.linalg.norm(normal_force, axis=-1)
+    ci = floes.centroid[i]
+    ui = floes.u[i][:, None] + floes.xi[i][:, None] * -(fp[..., 1] - ci[:, None, 1])
+    vi_ = floes.v[i][:, None] + floes.xi[i][:, None] * (fp[..., 0] - ci[:, None, 0])
+    cjs = q.q_cent[j] + shift  # shifted centroid of Q
+    ujp = q.q_u[j][:, None] + q.q_xi[j][:, None] * -(fp[..., 1] - cjs[:, None, 1])
+    vjp = q.q_v[j][:, None] + q.q_xi[j][:, None] * (fp[..., 0] - cjs[:, None, 0])
+    udiff = ui - ujp
+    vdiff = vi_ - vjp
+    vnorm = jnp.sqrt(udiff**2 + vdiff**2)
+    vn_safe = jnp.where(vnorm > 0, vnorm, 1.0)
+    xdir = jnp.where(vnorm > 0, udiff / vn_safe, 0.0)
+    ydir = jnp.where(vnorm > 0, vdiff / vn_safe, 0.0)
+    dot_dir = xdir * udiff + ydir * vdiff
+    xfric = G * dl * dt * nnorm * xdir * -dot_dir
+    yfric = G * dl * dt * nnorm * ydir * -dot_dir
+    fric_norm = jnp.sqrt(xfric**2 + yfric**2)
+    over = fric_norm > consts.mu * nnorm
+    xfric = jnp.where(over, -consts.mu * nnorm * xdir, xfric)
+    yfric = jnp.where(over, -consts.mu * nnorm * ydir, yfric)
+    friction = jnp.stack([xfric, yfric], axis=-1) * force_on[..., None]
+
+    force = normal_force + friction  # [K, R, 2]
+    # interactions are only recorded when force != 0 (add_interactions!,
+    # collisions.jl:288)
+    nonzero = force_on & (jnp.sum(jnp.abs(force), axis=-1) > 0)
+    overlap_rec = jnp.where(nonzero, regions.area, 0.0)
+    return force, fp, overlap_rec
+
+
+def _accumulate_contacts(
+    floes: FloeState,
+    N: int,
+    i: jnp.ndarray,          # [K]
+    j: jnp.ndarray,          # [K]
+    pair_valid: jnp.ndarray,  # [K]
+    is_ff: jnp.ndarray,      # [K] reaction lands on floe j
+    shift: jnp.ndarray,      # [K, 2]
+    q_cent: jnp.ndarray,
+    force: jnp.ndarray,      # [K, R, 2]
+    fp: jnp.ndarray,         # [K, R, 2]
+    overlap_rec: jnp.ndarray,  # [K, R]
+):
+    """Symmetric +F/-F segment-sum accumulation of one contact list onto the
+    floe pool (replaces the reference's serial reaction pass,
+    collisions.jl:799-862). Returns (col_force, col_trq, stress_moments,
+    overarea) per floe."""
+    seg_i = jnp.where(pair_valid, i, N).astype(jnp.int32)
+    jf = jnp.where(is_ff, j, N).astype(jnp.int32)  # only floe reactions
+
+    def acc_i(x):
+        return jax.ops.segment_sum(x, seg_i, num_segments=N + 1)[:N]
+
+    def acc_j(x):
+        return jax.ops.segment_sum(x, jf, num_segments=N + 1)[:N]
+
+    fsum = jnp.sum(force, axis=1)  # [K, 2]
+    col_force = acc_i(fsum) - acc_j(fsum)
+
+    # torques about each side's centroid (calc_torque!, collisions.jl:673-686)
+    ci = floes.centroid[i]
+    ri_ = fp - ci[:, None, :]
+    trq_i = ri_[..., 0] * force[..., 1] - ri_[..., 1] * force[..., 0]
+    fp_j = fp - shift[:, None, :]  # force point in j's unshifted frame
+    cj0 = q_cent[j]
+    rj_ = fp_j - cj0[:, None, :]
+    trq_j = rj_[..., 0] * (-force[..., 1]) - rj_[..., 1] * (-force[..., 0])
+    col_trq = acc_i(jnp.sum(trq_i, axis=1)) + acc_j(jnp.sum(trq_j, axis=1))
+
+    # stress moments (calc_stress!, update_floe.jl:392-414):
+    # s11 += rx*Fx, s12 += 0.5*(ry*Fx + rx*Fy), s22 += ry*Fy
+    def stress_moments(rvec, f):
+        s11 = jnp.sum(rvec[..., 0] * f[..., 0], axis=1)
+        s12 = 0.5 * jnp.sum(
+            rvec[..., 1] * f[..., 0] + rvec[..., 0] * f[..., 1], axis=1
+        )
+        s22 = jnp.sum(rvec[..., 1] * f[..., 1], axis=1)
+        return jnp.stack(
+            [jnp.stack([s11, s12], -1), jnp.stack([s12, s22], -1)], axis=-2
+        )
+
+    sm = acc_i(stress_moments(ri_, force)) + acc_j(stress_moments(rj_, -force))
+    overarea = acc_i(jnp.sum(overlap_rec, axis=1)) + acc_j(
+        jnp.sum(overlap_rec, axis=1)
+    )
+    return col_force, col_trq, sm, overarea
 
 
 class CollisionResult(NamedTuple):
@@ -488,9 +696,12 @@ def timestep_collisions(
     q_is_floe = jnp.arange(N + 4 + T) < N
     q_wall_id = jnp.arange(N + 4 + T) - N  # 0..3 for walls, else out of range
 
-    # ---------------- stage 1: crossing-count prefilter --------------------
-    # cheap elementwise pass over ALL candidate pairs; only pairs whose
-    # boundaries actually cross go through the heavy region kernel
+    # ---------------- fused narrow phase (fast path) ------------------------
+    # One pair-minor elementwise pass over ALL candidate pairs computes the
+    # crossing count, containment area, and - for the dominant 2-crossing
+    # single-region contacts - the full region quantities directly.  Only
+    # multi-region / degenerate contacts (C-shapes etc.) go through the
+    # general sort/compact/cycle kernel, at a small capacity.
     i0 = pairs.qi
     j0 = pairs.qj
     pvalid0 = pairs.valid
@@ -502,75 +713,43 @@ def timestep_collisions(
     )
     perturb0 = eps_rel * scale0
 
-    cnt0, contain0 = jax.vmap(
-        lambda a, b, c, d, p: count_crossings(a, b, c, d, p)
-    )(
+    tc = two_cross_pass(
         floes.verts[i0],
         floes.nverts[i0],
         q_verts[j0] + pairs.shift[:, None, :],
         q_n[j0],
         perturb0,
     )
-    cnt0 = jnp.where(pvalid0, cnt0, 0)
-    contain0 = jnp.where(pvalid0, contain0, 0.0)
+    cnt0 = jnp.where(pvalid0, tc.cnt, 0)
+    contain0 = jnp.where(pvalid0, tc.contain, 0.0)
+    fast_ok = pvalid0 & tc.ok
 
-    # contacts are split into a small-vertex fast path (both rings fit in
-    # SMALL_V vertices - the common case for Voronoi floes and wall rects)
-    # and a full-capacity path, quartering the V x W crossing work for the
-    # bulk of the contact list
-    SMALL_V = min(16, V)
-    cc_small = max(pair_cap // 8, 64)
-    cc_big = max(pair_cap // 32, 32)
-    contact_cap = cc_small + cc_big
-
-    is_contact = cnt0 > 0
-    fits_small = (floes.nverts[i0] <= SMALL_V) & (q_n[j0] <= SMALL_V)
-    small_ok = is_contact & fits_small
-    big_ok = is_contact & ~fits_small
-    n_contacts = jnp.maximum(
-        jnp.sum(small_ok.astype(jnp.int32)) * contact_cap // max(cc_small, 1),
-        jnp.sum(big_ok.astype(jnp.int32)) * contact_cap // max(cc_big, 1),
-    )  # scaled so the overflow check below compares against contact_cap
-    (ssel,) = jnp.nonzero(small_ok, size=cc_small, fill_value=pair_cap)
-    (bsel,) = jnp.nonzero(big_ok, size=cc_big, fill_value=pair_cap)
-    csel = jnp.concatenate([ssel, bsel])
-    cvalid = csel < pair_cap
-    csafe = jnp.minimum(csel, pair_cap - 1)
-
-    # ---------------- stage 2: region kernel on contact pairs --------------
-    i = i0[csafe]
-    j = j0[csafe]
-    cshift = pairs.shift[csafe]
-    pv = floes.verts[i]
-    pn = floes.nverts[i]
-    qv = q_verts[j] + cshift[:, None, :]
-    qn = q_n[j]
-    perturb = (perturb0[csafe])[:, None, None] * jnp.asarray(
-        [0.6180339887, 1.0], dtype
+    # ---------------- slow path: general region kernel ---------------------
+    slow_cap = max(pair_cap // 32, 32)
+    slow_mask = pvalid0 & (cnt0 > 0) & ~tc.ok
+    n_slow = jnp.sum(slow_mask.astype(jnp.int32))
+    (ssel,) = jnp.nonzero(slow_mask, size=slow_cap, fill_value=pair_cap)
+    svalid = ssel < pair_cap
+    ssafe = jnp.minimum(ssel, pair_cap - 1)
+    i1 = i0[ssafe]
+    j1 = j0[ssafe]
+    shift1 = pairs.shift[ssafe]
+    sregions = jax.vmap(
+        lambda a, b, c, d, p: intersect_regions(a, b, c, d, CAP=clip_cap, perturb=p)
+    )(
+        floes.verts[i1],
+        floes.nverts[i1],
+        q_verts[j1] + shift1[:, None, :],
+        q_n[j1],
+        perturb0[ssafe],
     )
+    slow_total = jnp.where(svalid, sregions.total_area, 0.0)
 
-    kernel = lambda a, b, c, d, p: intersect_regions(a, b, c + p, d, CAP=clip_cap)
-    regions_small = jax.vmap(kernel)(
-        pv[:cc_small, :SMALL_V],
-        jnp.minimum(pn[:cc_small], SMALL_V),
-        qv[:cc_small, :SMALL_V],
-        jnp.minimum(qn[:cc_small], SMALL_V),
-        perturb[:cc_small],
-    )
-    regions_big = jax.vmap(kernel)(
-        pv[cc_small:], pn[cc_small:], qv[cc_small:], qn[cc_small:],
-        perturb[cc_small:],
-    )
-    regions = jax.tree.map(
-        lambda a, b: jnp.concatenate([a, b], axis=0), regions_small, regions_big
-    )
-
-    R = clip_cap
-    pvalid = cvalid
-    total_area = jnp.where(pvalid, regions.total_area, 0.0)
     # total intersection area for every candidate pair (containment included)
-    total_area0 = contain0 + jnp.zeros_like(contain0).at[csafe].add(
-        jnp.where(cvalid, total_area, 0.0)
+    total_area0 = (
+        contain0
+        + jnp.where(fast_ok, tc.area, 0.0)
+        + jnp.zeros_like(contain0).at[ssafe].add(slow_total)
     )
 
     # ------- fuse / remove marking (collisions.jl:364-368, 522-525) --------
@@ -584,10 +763,9 @@ def timestep_collisions(
         & (total_area0 > 0)
     )
     # domain pairs: remove if max single-region overlap fraction too big
-    reg_area_masked = jnp.where(regions.valid, regions.area, 0.0)
-    max_reg = jnp.max(reg_area_masked, axis=1)  # [CC]
-    max_reg0 = jnp.zeros_like(contain0).at[csafe].add(
-        jnp.where(cvalid, max_reg, 0.0)
+    smax_reg = jnp.max(jnp.where(sregions.valid, sregions.area, 0.0), axis=1)
+    max_reg0 = jnp.where(fast_ok, tc.area, 0.0).at[ssafe].max(
+        jnp.where(svalid, smax_reg, 0.0)
     )
     # containment against a wall counts as a full-floe region
     max_reg0 = jnp.maximum(max_reg0, jnp.where(~q_is_floe[j0], contain0, 0.0))
@@ -596,155 +774,58 @@ def timestep_collisions(
         & ~q_is_floe[j0]
         & (max_reg0 / area_i0 > collision_settings.floe_domain_max_overlap)
     )
-    fuse_pair = fuse_pair0[csafe] & cvalid
-    dom_remove_pair = dom_remove_pair0[csafe] & cvalid
 
-    # ------- force factor (collisions.jl:371-379, 528) ---------------------
-    area_i = floes.area[i]
-    hi = floes.height[i]
-    ri = jnp.sqrt(area_i)
-    hj = q_height[j]
-    rj = jnp.sqrt(jnp.where(q_is_floe[j], q_area[j], 1.0))
-    ff_big = consts.E * jnp.minimum(hi, hj) / jnp.minimum(ri, rj)
-    ff_std = consts.E * (hi * hj) / (hi * rj + hj * ri)
-    ff_floe = jnp.where((ri > 1e5) | (rj > 1e5), ff_big, ff_std)
-    ff_dom = consts.E * hi / ri
-    force_factor = jnp.where(q_is_floe[j], ff_floe, ff_dom)
-
-    # ------- per-region elastic normal forces ------------------------------
-    # region min-area filter (calc_elastic_forces, collisions.jl:158-169)
-    n1 = pn
-    n2 = qn
-    min_area = jnp.minimum(n1, n2).astype(dtype) * 100.0 / 1.75
-    reg_ok = (
-        regions.valid
-        & (regions.area >= min_area[:, None])
-        & pvalid[:, None]
-        & ~fuse_pair[:, None]
-        & ~dom_remove_pair[:, None]
-        & (total_area > 0)[:, None]
+    # ---------------- forces on both contact lists -------------------------
+    qpool = _QPool(
+        q_n=q_n, q_u=q_u, q_v=q_v, q_xi=q_xi, q_cent=q_cent,
+        q_height=q_height, q_area=q_area, q_is_floe=q_is_floe,
+        q_wall_id=q_wall_id,
     )
-
-    chord = regions.chord_b - regions.chord_a
-    chord_len = jnp.linalg.norm(chord, axis=-1)
-    two_pts = regions.n_cross == 2
-    # 2-crossing case: direction perpendicular to the chord, sign chosen to
-    # reduce the overlap = aligned with the P-chain inward-normal sum
-    perp = jnp.stack([-chord[..., 1], chord[..., 0]], axis=-1)
-    sgn = jnp.sign(jnp.sum(perp * regions.p_norm, axis=-1))
-    sgn = jnp.where(sgn == 0, 1.0, sgn)
-    dir2 = perp * sgn[..., None] / jnp.maximum(chord_len, 1e-30)[..., None]
-    dl2 = chord_len
-    # many-crossing case (_many_intersect_normal_force!, collisions.jl:78-119)
-    pn_norm = jnp.linalg.norm(regions.p_norm, axis=-1)
-    dirM = regions.p_norm / jnp.maximum(pn_norm, 1e-30)[..., None]
-    p_cnt = regions.p_cnt
-    dlM = regions.p_len / jnp.maximum(p_cnt, 1).astype(dtype)
-    # reference condition 0 < n_pts < npoints(region)-1: require a Q chain too
-    manyok = (p_cnt > 0) & (regions.q_cnt > 0)
-
-    dl = jnp.where(two_pts, dl2, jnp.where(manyok, dlM, 0.0))
-    fdir = jnp.where(
-        two_pts[..., None], dir2, jnp.where(manyok[..., None], dirM, 0.0)
+    R1 = 1
+    fast_regions = ClipRegions(
+        total_area=tc.area,
+        area=tc.area[:, None],
+        centroid=tc.centroid[:, None, :],
+        n_cross=jnp.full((PC, R1), 2, jnp.int32),
+        chord_a=tc.chord_a[:, None, :],
+        chord_b=tc.chord_b[:, None, :],
+        p_norm=tc.p_norm[:, None, :],
+        p_len=jnp.zeros((PC, R1), dtype),
+        p_cnt=jnp.zeros((PC, R1), jnp.int32),
+        q_cnt=jnp.zeros((PC, R1), jnp.int32),
+        valid=(fast_ok & (tc.area > 0))[:, None],
+        overflow=jnp.asarray(False),
     )
-    # overlap-too-small gate (collisions.jl:51, 112)
-    force_on = reg_ok & (dl > 0.1)
-    normal_force = (
-        fdir * (regions.area * force_factor[:, None])[..., None]
-    ) * force_on[..., None]
-
-    # ------- wall normal-direction correction (boundaries.jl:37-148) -------
-    fp = regions.centroid  # [PC, R, 2] force application points
-    is_wall = (q_wall_id[j] >= 0) & (q_wall_id[j] < 4)
-    wid = jnp.clip(q_wall_id[j], 0, 3)
-    wall_val = vals[wid]
-    # N: fp.y >= val -> zero x force; S: fp.y <= val -> zero x
-    # E: fp.x >= val -> zero y;       W: fp.x <= val -> zero y
-    zx = (
-        ((wid == NORTH)[:, None] & (fp[..., 1] >= wall_val[:, None]))
-        | ((wid == SOUTH)[:, None] & (fp[..., 1] <= wall_val[:, None]))
+    pair_on0 = fast_ok & ~fuse_pair0 & ~dom_remove_pair0
+    pair_on1 = (
+        svalid
+        & ~fuse_pair0[ssafe]
+        & ~dom_remove_pair0[ssafe]
+        & (slow_total > 0)
     )
-    zy = (
-        ((wid == EAST)[:, None] & (fp[..., 0] >= wall_val[:, None]))
-        | ((wid == WEST)[:, None] & (fp[..., 0] <= wall_val[:, None]))
+    f_force, f_fp, f_rec = _region_forces(
+        floes, consts, dt, vals, i0, j0, pairs.shift, fast_regions,
+        pair_on0, qpool,
     )
-    nx = jnp.where(is_wall[:, None] & zx, 0.0, normal_force[..., 0])
-    ny = jnp.where(is_wall[:, None] & zy, 0.0, normal_force[..., 1])
-    normal_force = jnp.stack([nx, ny], axis=-1)
+    s_force, s_fp, s_rec = _region_forces(
+        floes, consts, dt, vals, i1, j1, shift1, sregions, pair_on1, qpool,
+    )
+    f_acc = _accumulate_contacts(
+        floes, N, i0, j0, pvalid0, q_is_floe[j0] & pvalid0, pairs.shift,
+        q_cent, f_force, f_fp, f_rec,
+    )
+    s_acc = _accumulate_contacts(
+        floes, N, i1, j1, svalid, q_is_floe[j1] & svalid, shift1,
+        q_cent, s_force, s_fp, s_rec,
+    )
+    col_force = f_acc[0] + s_acc[0]
+    col_trq = f_acc[1] + s_acc[1]
+    sm = f_acc[2] + s_acc[2]
+    overarea = f_acc[3] + s_acc[3]
 
-    # ------- friction (calc_friction_forces, collisions.jl:243-283) --------
-    G = consts.E / (2.0 * (1.0 + consts.nu))
-    nnorm = jnp.linalg.norm(normal_force, axis=-1)
-    ci = floes.centroid[i]
-    ui = floes.u[i][:, None] + floes.xi[i][:, None] * -(fp[..., 1] - ci[:, None, 1])
-    vi_ = floes.v[i][:, None] + floes.xi[i][:, None] * (fp[..., 0] - ci[:, None, 0])
-    cjs = q_cent[j] + cshift  # shifted centroid of Q
-    ujp = q_u[j][:, None] + q_xi[j][:, None] * -(fp[..., 1] - cjs[:, None, 1])
-    vjp = q_v[j][:, None] + q_xi[j][:, None] * (fp[..., 0] - cjs[:, None, 0])
-    udiff = ui - ujp
-    vdiff = vi_ - vjp
-    vnorm = jnp.sqrt(udiff**2 + vdiff**2)
-    vn_safe = jnp.where(vnorm > 0, vnorm, 1.0)
-    xdir = jnp.where(vnorm > 0, udiff / vn_safe, 0.0)
-    ydir = jnp.where(vnorm > 0, vdiff / vn_safe, 0.0)
-    dot_dir = xdir * udiff + ydir * vdiff
-    xfric = G * dl * dt * nnorm * xdir * -dot_dir
-    yfric = G * dl * dt * nnorm * ydir * -dot_dir
-    fric_norm = jnp.sqrt(xfric**2 + yfric**2)
-    over = fric_norm > consts.mu * nnorm
-    xfric = jnp.where(over, -consts.mu * nnorm * xdir, xfric)
-    yfric = jnp.where(over, -consts.mu * nnorm * ydir, yfric)
-    friction = jnp.stack([xfric, yfric], axis=-1) * force_on[..., None]
-
-    force = normal_force + friction  # [PC, R, 2]
-    # interactions are only recorded when force != 0 (add_interactions!,
-    # collisions.jl:288)
-    nonzero = force_on & (jnp.sum(jnp.abs(force), axis=-1) > 0)
-    overlap_rec = jnp.where(nonzero, regions.area, 0.0)
-
-    # ---------------- accumulation (segment sums) --------------------------
-    is_ff_pair = q_is_floe[j] & cvalid
-    seg_i = jnp.where(pvalid, i, N).astype(jnp.int32)
-    jf = jnp.where(is_ff_pair, j, N).astype(jnp.int32)  # only floe reactions
-
-    def acc_i(x):
-        return jax.ops.segment_sum(x, seg_i, num_segments=N + 1)[:N]
-
-    def acc_j(x):
-        return jax.ops.segment_sum(x, jf, num_segments=N + 1)[:N]
-
-    fsum = jnp.sum(force, axis=1)  # [PC, 2]
-    col_force = acc_i(fsum) - acc_j(fsum)
-
-    # torques about each side's centroid (calc_torque!, collisions.jl:673-686)
-    ri_ = fp - ci[:, None, :]
-    trq_i = ri_[..., 0] * force[..., 1] - ri_[..., 1] * force[..., 0]
-    fp_j = fp - cshift[:, None, :]  # force point in j's unshifted frame
-    cj0 = q_cent[j]
-    rj_ = fp_j - cj0[:, None, :]
-    trq_j = rj_[..., 0] * (-force[..., 1]) - rj_[..., 1] * (-force[..., 0])
-    col_trq = acc_i(jnp.sum(trq_i, axis=1)) + acc_j(jnp.sum(trq_j, axis=1))
-
-    # stress moments (calc_stress!, update_floe.jl:392-414):
-    # s11 += rx*Fx, s12 += 0.5*(ry*Fx + rx*Fy), s22 += ry*Fy
-    def stress_moments(rvec, f):
-        s11 = jnp.sum(rvec[..., 0] * f[..., 0], axis=1)
-        s12 = 0.5 * jnp.sum(
-            rvec[..., 1] * f[..., 0] + rvec[..., 0] * f[..., 1], axis=1
-        )
-        s22 = jnp.sum(rvec[..., 1] * f[..., 1], axis=1)
-        return jnp.stack(
-            [jnp.stack([s11, s12], -1), jnp.stack([s12, s22], -1)], axis=-2
-        )
-
-    sm = acc_i(stress_moments(ri_, force)) + acc_j(stress_moments(rj_, -force))
     ah = floes.area * floes.height
     ah_safe = jnp.where(ah > 0, ah, 1.0)
     stress_instant = sm / ah_safe[:, None, None]
-
-    over_i = acc_i(jnp.sum(overlap_rec, axis=1))
-    over_j = acc_j(jnp.sum(overlap_rec, axis=1))
-    overarea = over_i + over_j
 
     # fuse / remove scatters - over the FULL candidate list so containment
     # pairs (no boundary crossings) are included
@@ -781,8 +862,8 @@ def timestep_collisions(
     )
     overflow = (
         pairs.overflow
-        | (n_contacts > contact_cap)
-        | jnp.any(jnp.where(pvalid, regions.overflow, False))
+        | (n_slow > slow_cap)
+        | jnp.any(jnp.where(svalid, sregions.overflow, False))
     )
     return CollisionResult(
         floes=new_floes,
