@@ -86,13 +86,69 @@ def find_candidate_pairs(
     return _find_candidate_pairs_dense(floes, domain, pair_cap)
 
 
+def _rank_select_rows(mask, row_cap):
+    """Per-row compaction of a boolean [N, C] candidate matrix WITHOUT any
+    sort/scatter/nonzero: sel[i, k] = column of the (k+1)-th True in row i
+    (or C if the row has fewer), computed with a row cumsum + K masked
+    count-reductions (the reduction runs [K, N, C] with C in lanes, so it is
+    pure well-tiled VPU work).
+
+    Returns (sel [N, row_cap] int32, valid [N, row_cap], overflow [])."""
+    N, C = mask.shape
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # [N, C]
+    row_tot = rank[:, -1]
+    k = jnp.arange(row_cap, dtype=jnp.int32)
+    # position of the (k+1)-th True = #(prefix counts <= k); rank is
+    # nondecreasing so the count is exactly the index where it first exceeds k
+    sel = jnp.sum(
+        (rank[None, :, :] <= k[:, None, None]).astype(jnp.int32), axis=2
+    ).T  # [N, row_cap]
+    valid = k[None, :] < row_tot[:, None]
+    overflow = jnp.any(row_tot > row_cap)
+    return sel.astype(jnp.int32), valid, overflow
+
+
+def _wall_topo_masks(floes, domain):
+    """Wall [N, 4] and topography [N, T] candidate masks."""
+    c = floes.centroid
+    r = floes.rmax
+    act = floes.active
+    vals = domain.vals
+    beyond = jnp.stack(
+        [
+            c[:, 1] + r > vals[NORTH],
+            c[:, 1] - r < vals[SOUTH],
+            c[:, 0] + r > vals[EAST],
+            c[:, 0] - r < vals[WEST],
+        ],
+        axis=1,
+    )
+    wall_force = jnp.asarray(
+        [
+            domain.kinds[w] in (BoundaryKind.COLLISION, BoundaryKind.MOVING)
+            for w in range(4)
+        ]
+    )
+    fw = act[:, None] & beyond & wall_force[None, :]
+    T = domain.topography.count
+    if T > 0:
+        tc = domain.topography.centroid
+        tr = domain.topography.rmax
+        dt_ = c[:, None, :] - tc[None, :, :]
+        ft = act[:, None] & (
+            jnp.sum(dt_ * dt_, axis=-1) < (r[:, None] + tr[None, :]) ** 2
+        )
+    else:
+        ft = jnp.zeros((floes.capacity, 0), bool)
+    return fw, ft
+
+
 def _find_candidate_pairs_dense(
     floes: FloeState,
     domain: Domain,
     pair_cap: int,
 ) -> PairArrays:
     N = floes.capacity
-    dtype = floes.verts.dtype
     c = floes.centroid
     r = floes.rmax
     act = floes.active
@@ -116,114 +172,37 @@ def _find_candidate_pairs_dense(
     dist2 = dx * dx + dy * dy
     rsum = r[:, None] + r[None, :]
     iidx = jnp.arange(N)
-    pair_mask = (
-        act[:, None]
-        & act[None, :]
-        & (dist2 < rsum**2)
-        & (iidx[:, None] < iidx[None, :])
-    )
+    # balanced pair ownership: each unordered pair is computed exactly once,
+    # assigned to i or j by (i+j) parity so per-row candidate counts stay
+    # near deg/2 instead of piling onto low indices (halves row_cap needs)
+    lt = iidx[:, None] < iidx[None, :]
+    even = ((iidx[:, None] + iidx[None, :]) % 2) == 0
+    own = (even == lt) & (iidx[:, None] != iidx[None, :])
+    pair_mask = act[:, None] & act[None, :] & (dist2 < rsum**2) & own
 
-    ff_flat = pair_mask.reshape(-1)
-    ff_shift = jnp.stack([sx, sy], axis=-1).reshape(-1, 2)  # shift applied to j
-
-    # floe-wall: [N, 4]; only COLLISION/MOVING walls produce force pairs
-    vals = domain.vals
-    beyond = jnp.stack(
-        [
-            c[:, 1] + r > vals[NORTH],
-            c[:, 1] - r < vals[SOUTH],
-            c[:, 0] + r > vals[EAST],
-            c[:, 0] - r < vals[WEST],
-        ],
-        axis=1,
-    )
-    wall_force = jnp.asarray(
-        [
-            domain.kinds[w] in (BoundaryKind.COLLISION, BoundaryKind.MOVING)
-            for w in range(4)
-        ]
-    )
-    fw = act[:, None] & beyond & wall_force[None, :]
-    fw_flat = fw.reshape(-1)
-
-    # floe-topo: [N, T]
+    fw, ft = _wall_topo_masks(floes, domain)
     T = domain.topography.count
-    if T > 0:
-        tc = domain.topography.centroid
-        tr = domain.topography.rmax
-        dt_ = c[:, None, :] - tc[None, :, :]
-        ft = act[:, None] & (
-            jnp.sum(dt_ * dt_, axis=-1) < (r[:, None] + tr[None, :]) ** 2
-        )
-        ft_flat = ft.reshape(-1)
-    else:
-        ft_flat = jnp.zeros((0,), bool)
 
-    all_flat = jnp.concatenate([ff_flat, fw_flat, ft_flat])
-    total = all_flat.shape[0]
-    n_hits = jnp.sum(all_flat.astype(jnp.int32))
-    overflow = n_hits > pair_cap
-    (sel,) = jnp.nonzero(all_flat, size=pair_cap, fill_value=total)
-    valid = sel < total
+    # unified candidate matrix over the Q pool: [N, N+4+T]
+    mask = jnp.concatenate([pair_mask, fw, ft], axis=1)
+    NQ = N + 4 + T
+    row_cap = max(min(pair_cap // max(N, 1), NQ), 8)
+    sel, valid, overflow = _rank_select_rows(mask, row_cap)
 
-    # decode flat indices back to (i, qj, shift)
-    ff_total = N * N
-    fw_total = 4 * N
-    is_ff = sel < ff_total
-    is_fw = (sel >= ff_total) & (sel < ff_total + fw_total)
-    sel_ff = jnp.where(is_ff, sel, 0)
-    i_ff = sel_ff // N
-    j_ff = sel_ff % N
-    sel_fw = jnp.where(is_fw, sel - ff_total, 0)
-    i_fw = sel_fw // 4
-    w_fw = sel_fw % 4
-    sel_ft = jnp.where(is_ff | is_fw, 0, jnp.minimum(sel - ff_total - fw_total, max(T * N - 1, 0)))
-    i_ft = sel_ft // max(T, 1)
-    t_ft = sel_ft % max(T, 1)
-
-    qi = jnp.where(is_ff, i_ff, jnp.where(is_fw, i_fw, i_ft)).astype(jnp.int32)
-    qj = jnp.where(
-        is_ff, j_ff, jnp.where(is_fw, N + w_fw, N + 4 + t_ft)
-    ).astype(jnp.int32)
-    shift = jnp.where(is_ff[:, None], ff_shift[sel_ff], 0.0)
-    return PairArrays(qi=qi, qj=qj, shift=shift, valid=valid, overflow=overflow)
-
-
-def _wall_topo_flat(floes, domain):
-    """Shared wall/topography candidate masks ([N*4], [N*T] flats)."""
-    N = floes.capacity
-    c = floes.centroid
-    r = floes.rmax
-    act = floes.active
-    vals = domain.vals
-    beyond = jnp.stack(
-        [
-            c[:, 1] + r > vals[NORTH],
-            c[:, 1] - r < vals[SOUTH],
-            c[:, 0] + r > vals[EAST],
-            c[:, 0] - r < vals[WEST],
-        ],
-        axis=1,
+    qi = jnp.broadcast_to(iidx[:, None], (N, row_cap)).reshape(-1).astype(jnp.int32)
+    qj = jnp.minimum(sel, NQ - 1).reshape(-1).astype(jnp.int32)
+    is_ff = qj < N
+    jsafe = jnp.minimum(qj, N - 1)
+    sxg = jnp.take_along_axis(sx, jsafe.reshape(N, row_cap), axis=1).reshape(-1)
+    syg = jnp.take_along_axis(sy, jsafe.reshape(N, row_cap), axis=1).reshape(-1)
+    shift = jnp.where(
+        is_ff[:, None],
+        jnp.stack([sxg, syg], axis=-1),
+        0.0,
     )
-    wall_force = jnp.asarray(
-        [
-            domain.kinds[w] in (BoundaryKind.COLLISION, BoundaryKind.MOVING)
-            for w in range(4)
-        ]
+    return PairArrays(
+        qi=qi, qj=qj, shift=shift, valid=valid.reshape(-1), overflow=overflow
     )
-    fw_flat = (act[:, None] & beyond & wall_force[None, :]).reshape(-1)
-    T = domain.topography.count
-    if T > 0:
-        tc = domain.topography.centroid
-        tr = domain.topography.rmax
-        dt_ = c[:, None, :] - tc[None, :, :]
-        ft_flat = (
-            act[:, None]
-            & (jnp.sum(dt_ * dt_, axis=-1) < (r[:, None] + tr[None, :]) ** 2)
-        ).reshape(-1)
-    else:
-        ft_flat = jnp.zeros((0,), bool)
-    return fw_flat, ft_flat
 
 
 def _find_candidate_pairs_binned(
@@ -307,52 +286,51 @@ def _find_candidate_pairs_binned(
         & slot_ok
         & act[:, None, None]
         & act[j_cand]
-        & (iidx < j_cand)
+        # balanced pair ownership by (i+j) parity (see dense variant)
+        & ((((iidx + j_cand) % 2) == 0) == (iidx < j_cand))
+        & (iidx != j_cand)
         & (dx * dx + dy * dy < rsum * rsum)
     )
-
-    ff_flat = mask.reshape(-1)
-    ff_j = j_cand.reshape(-1)
-    ff_shift = jnp.stack([sx, sy], axis=-1).reshape(-1, 2)
 
     # 3x3 neighborhoods only capture pairs within one bin length: flag if
     # floes have grown (fuse/weld) beyond the bin-size guarantee
     rmax_ok = 2.0 * jnp.max(jnp.where(act, r, 0.0)) <= jnp.minimum(bx, by)
     bin_overflow = bin_overflow | ~rmax_ok
 
-    fw_flat, ft_flat = _wall_topo_flat(floes, domain)
+    fw, ft = _wall_topo_masks(floes, domain)
     T = domain.topography.count
 
-    all_flat = jnp.concatenate([ff_flat, fw_flat, ft_flat])
-    total = all_flat.shape[0]
-    n_hits = jnp.sum(all_flat.astype(jnp.int32))
-    overflow = (n_hits > pair_cap) | bin_overflow
-    (sel,) = jnp.nonzero(all_flat, size=pair_cap, fill_value=total)
-    valid = sel < total
+    # unified candidate matrix: [N, 9M | 4 walls | T topo]
+    CFF = 9 * M
+    full_mask = jnp.concatenate([mask.reshape(N, CFF), fw, ft], axis=1)
+    row_cap = max(min(pair_cap // max(N, 1), CFF + 4 + T), 8)
+    sel, valid, sel_overflow = _rank_select_rows(full_mask, row_cap)
+    overflow = bin_overflow | sel_overflow
 
-    ff_total = N * 9 * M
-    fw_total = 4 * N
-    is_ff = sel < ff_total
-    is_fw = (sel >= ff_total) & (sel < ff_total + fw_total)
-    sel_ff = jnp.where(is_ff, sel, 0)
-    i_ff = sel_ff // (9 * M)
-    j_ff = ff_j[sel_ff]
-    sel_fw = jnp.where(is_fw, sel - ff_total, 0)
-    i_fw = sel_fw // 4
-    w_fw = sel_fw % 4
-    sel_ft = jnp.where(
-        is_ff | is_fw, 0,
-        jnp.minimum(sel - ff_total - fw_total, max(T * N - 1, 0)),
+    is_ff = sel < CFF
+    selg = jnp.minimum(sel, CFF + 3 + T)
+    # ff columns map through j_cand; wall/topo columns map to pool slots
+    jc = j_cand.reshape(N, CFF)
+    j_ff = jnp.take_along_axis(jc, jnp.minimum(selg, CFF - 1), axis=1)
+    j_other = N + jnp.maximum(selg - CFF, 0)
+    qj = jnp.where(is_ff, j_ff, j_other).reshape(-1).astype(jnp.int32)
+    qi = (
+        jnp.broadcast_to(jnp.arange(N)[:, None], (N, row_cap))
+        .reshape(-1)
+        .astype(jnp.int32)
     )
-    i_ft = sel_ft // max(T, 1)
-    t_ft = sel_ft % max(T, 1)
-
-    qi = jnp.where(is_ff, i_ff, jnp.where(is_fw, i_fw, i_ft)).astype(jnp.int32)
-    qj = jnp.where(
-        is_ff, j_ff, jnp.where(is_fw, N + w_fw, N + 4 + t_ft)
-    ).astype(jnp.int32)
-    shift = jnp.where(is_ff[:, None], ff_shift[sel_ff], 0.0)
-    return PairArrays(qi=qi, qj=qj, shift=shift, valid=valid, overflow=overflow)
+    sxf = sx.reshape(N, CFF)
+    syf = sy.reshape(N, CFF)
+    sxg = jnp.take_along_axis(sxf, jnp.minimum(selg, CFF - 1), axis=1)
+    syg = jnp.take_along_axis(syf, jnp.minimum(selg, CFF - 1), axis=1)
+    shift = jnp.where(
+        is_ff.reshape(-1)[:, None],
+        jnp.stack([sxg.reshape(-1), syg.reshape(-1)], axis=-1),
+        0.0,
+    )
+    return PairArrays(
+        qi=qi, qj=qj, shift=shift, valid=valid.reshape(-1), overflow=overflow
+    )
 
 
 def pair_overlaps(
@@ -405,11 +383,12 @@ def pair_overlaps(
         perturb0,
     )
     # multi-region / degenerate pairs through the general kernel
-    slow_cap = max(pair_cap // 32, 32)
+    PC = pairs.qi.shape[0]
+    slow_cap = max(pair_cap // 128, 32)
     slow_mask = pairs.valid & (tc.cnt > 0) & ~tc.ok
-    (ssel,) = jnp.nonzero(slow_mask, size=slow_cap, fill_value=pair_cap)
-    svalid = ssel < pair_cap
-    ssafe = jnp.minimum(ssel, pair_cap - 1)
+    (ssel,) = jnp.nonzero(slow_mask, size=slow_cap, fill_value=PC)
+    svalid = ssel < PC
+    ssafe = jnp.minimum(ssel, PC - 1)
     regions = jax.vmap(
         lambda a, b, c, d, p: intersect_regions(a, b, c, d, CAP=clip_cap, perturb=p)
     )(
@@ -647,7 +626,7 @@ def timestep_collisions(
     act = floes.active
 
     pairs = find_candidate_pairs(floes, domain, pair_cap, bins)
-    PC = pair_cap
+    PC = pairs.qi.shape[0]
 
     # ---------------- open-boundary removal (collisions.jl:427-441) --------
     remove = floes.remove
@@ -725,12 +704,12 @@ def timestep_collisions(
     fast_ok = pvalid0 & tc.ok
 
     # ---------------- slow path: general region kernel ---------------------
-    slow_cap = max(pair_cap // 32, 32)
+    slow_cap = max(pair_cap // 128, 32)
     slow_mask = pvalid0 & (cnt0 > 0) & ~tc.ok
     n_slow = jnp.sum(slow_mask.astype(jnp.int32))
-    (ssel,) = jnp.nonzero(slow_mask, size=slow_cap, fill_value=pair_cap)
-    svalid = ssel < pair_cap
-    ssafe = jnp.minimum(ssel, pair_cap - 1)
+    (ssel,) = jnp.nonzero(slow_mask, size=slow_cap, fill_value=PC)
+    svalid = ssel < PC
+    ssafe = jnp.minimum(ssel, PC - 1)
     i1 = i0[ssafe]
     j1 = j0[ssafe]
     shift1 = pairs.shift[ssafe]
