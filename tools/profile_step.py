@@ -1,24 +1,20 @@
 #!/usr/bin/env python
-"""Phase-level timing of one full simulation step on the current device.
+"""Phase-level timing of the benchmark step on the current default device.
 
-Builds the same 500-floe shear_flow-style field as bench.py and times each
-phase of build_step separately (each phase jitted on its own), so we know
-where the step's milliseconds go before optimizing.
+Times each jitted sub-phase of the 500-floe shear_flow step separately
+(broad phase, fused narrow phase, slow-path region kernel, force recipe via
+full collisions, coupling, integrator) so optimization effort goes where the
+milliseconds are.  Run detached on TPU:
 
-Run detached on TPU:
-  nohup python tools/profile_step.py > /tmp/profile_step.log 2>&1 &
+  nohup python tools/profile_step.py > /tmp/profile_step.out 2>&1 &
 """
 
-import os
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-
-def timeit(fn, args, n=30, warmup=2):
+def timeit(fn, *args, n=30, warmup=2):
     import jax
 
     for _ in range(warmup):
@@ -28,7 +24,7 @@ def timeit(fn, args, n=30, warmup=2):
     for _ in range(n):
         out = fn(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    return (time.perf_counter() - t0) / n * 1e3  # ms
 
 
 def main():
@@ -45,13 +41,11 @@ def main():
         make_model,
         make_ocean,
     )
-    from subzero_tpu.geometry.clip import intersect_regions, two_cross_pass
     from subzero_tpu.physics import collisions as C
-    from subzero_tpu.physics import simplification as S
-    from subzero_tpu.physics import update_floe as U
     from subzero_tpu.physics import coupling as CP
+    from subzero_tpu.physics import update_floe as UF
+    from subzero_tpu.geometry.clip import intersect_regions, two_cross_pass
     from subzero_tpu.settings import (
-        CollisionSettings,
         CouplingSettings,
         FloeSettings,
         SubGridPointsGenerator,
@@ -80,119 +74,119 @@ def main():
     modulus = 1.5e3 * (np.mean(np.sqrt(area)) + np.min(np.sqrt(area)))
     consts = Constants(E=float(modulus))
     cps = CouplingSettings(two_way_coupling_on=False)
-    cls = CollisionSettings()
     sim = Simulation(
         model=model, consts=consts, dt=20, n_dt=0,
         floe_settings=fs, coupling_settings=cps,
     )
     dt = 20.0
+    print("device:", jax.devices()[0], flush=True)
+    print("pair_cap:", sim.pair_cap, "cell_cap:", sim.cell_cap, flush=True)
+
     fl, oc, dm = model.floes, model.ocean, model.domain
     N = fl.capacity
-    V = fl.max_verts
-    print(f"device={jax.devices()[0]} N={N} V={V} pair_cap={sim.pair_cap} "
-          f"cell_cap={sim.cell_cap} bins={sim.bins}", flush=True)
 
-    # --- phase functions, each jitted on its own -------------------------
-    f_broad = jax.jit(lambda f: C.find_candidate_pairs(f, dm, sim.pair_cap))
-    pairs = f_broad(fl)
-    print(f"candidate pairs: {int(jnp.sum(pairs.valid))}", flush=True)
+    # full step
+    step = build_step(sim)
+    t = jnp.asarray(1)
+    ms = timeit(lambda: step(fl, oc, dm, t))
+    print(f"full step:            {ms:8.3f} ms", flush=True)
 
+    # broad phase
+    bp = jax.jit(lambda f: C.find_candidate_pairs(f, dm, sim.pair_cap, sim.bins))
+    ms = timeit(lambda: bp(fl))
+    print(f"broad phase:          {ms:8.3f} ms", flush=True)
+    pairs = bp(fl)
+    PC = int(pairs.qi.shape[0])
+    nvalid = int(jnp.sum(pairs.valid))
+    print(f"  PC={PC} valid={nvalid}", flush=True)
+
+    # fused narrow phase (two_cross_pass) on the real candidate list
     from subzero_tpu.core.domain import wall_rect
 
+    V = fl.max_verts
     wall_vs, wall_ns = [], []
     for w in range(4):
         wv, wn = wall_rect(dm, w, V, dtype)
         wall_vs.append(wv)
         wall_ns.append(wn)
     q_verts = jnp.concatenate(
-        [fl.verts, jnp.stack(wall_vs), dm.topography.verts.astype(dtype)], 0
+        [fl.verts, jnp.stack(wall_vs), dm.topography.verts.astype(dtype)], axis=0
     )
     q_n = jnp.concatenate(
-        [fl.nverts, jnp.stack(wall_ns), dm.topography.nverts], 0
+        [fl.nverts, jnp.stack(wall_ns), dm.topography.nverts], axis=0
     )
+    i0, j0 = pairs.qi, pairs.qj
+    perturb0 = 2e-6 * (fl.rmax[i0] + fl.rmax[jnp.minimum(j0, N - 1)])
+    pv = fl.verts[i0]
+    pn = fl.nverts[i0]
+    qv = q_verts[j0] + pairs.shift[:, None, :]
+    qn = q_n[j0]
+    tc_fn = jax.jit(two_cross_pass)
+    ms = timeit(lambda: tc_fn(pv, pn, qv, qn, perturb0))
+    print(f"two_cross_pass:       {ms:8.3f} ms", flush=True)
 
+    # narrow incl. gathers (pv etc. built inside)
     @jax.jit
-    def f_fused(f, pr):
-        i0, j0 = pr.qi, pr.qj
-        scale0 = f.rmax[i0] + f.rmax[jnp.minimum(j0, N - 1)]
+    def narrow_with_gather(fl_, pairs_):
+        i0 = pairs_.qi
+        j0 = pairs_.qj
+        p = 2e-6 * (fl_.rmax[i0] + fl_.rmax[jnp.minimum(j0, N - 1)])
         return two_cross_pass(
-            f.verts[i0], f.nverts[i0],
-            q_verts[j0] + pr.shift[:, None, :], q_n[j0],
-            2e-6 * scale0,
+            fl_.verts[i0], fl_.nverts[i0],
+            q_verts[j0] + pairs_.shift[:, None, :], q_n[j0], p,
         )
+    ms = timeit(lambda: narrow_with_gather(fl, pairs))
+    print(f"narrow + gathers:     {ms:8.3f} ms", flush=True)
 
-    cc = max(sim.pair_cap // 32, 32)
-
-    @jax.jit
-    def f_narrow(f, pr):
-        i0 = pr.qi[:cc]
-        j0 = pr.qj[:cc]
-        scale0 = f.rmax[i0] + f.rmax[jnp.minimum(j0, N - 1)]
-        return jax.vmap(
-            lambda a, b, c, d, p: intersect_regions(a, b, c, d, CAP=16, perturb=p)
-        )(
-            f.verts[i0], f.nverts[i0],
-            q_verts[j0] + pr.shift[:cc, None, :],
-            q_n[j0],
-            2e-6 * scale0,
-        )
-
-    f_null = jax.jit(lambda f: f.u + 1.0)
-
-    f_collide = jax.jit(
-        lambda f: C.timestep_collisions(
-            f, dm, consts, dt, cls, sim.pair_cap, sim.clip_cap, sim.bins
+    # slow path kernel at its capacity
+    slow_cap = max(sim.pair_cap // 128, 32)
+    iz = jnp.zeros((slow_cap,), jnp.int32)
+    reg_fn = jax.jit(
+        lambda a, b, c, d, p: jax.vmap(
+            lambda aa, bb, cc, dd, pp: intersect_regions(
+                aa, bb, cc, dd, CAP=sim.clip_cap, perturb=pp
+            )
+        )(a, b, c, d, p)
+    )
+    ms = timeit(
+        lambda: reg_fn(
+            fl.verts[iz], fl.nverts[iz], q_verts[iz], q_n[iz],
+            perturb0[: slow_cap],
         )
     )
-    f_couple = jax.jit(
+    print(f"slow region kernel:   {ms:8.3f} ms  (cap={slow_cap})", flush=True)
+
+    # full collisions
+    col_fn = jax.jit(
+        lambda f: C.timestep_collisions(
+            f, dm, consts, dt, sim.collision_settings, sim.pair_cap,
+            sim.clip_cap, sim.bins,
+        )
+    )
+    ms = timeit(lambda: col_fn(fl))
+    print(f"collisions total:     {ms:8.3f} ms", flush=True)
+
+    # coupling
+    cp_fn = jax.jit(
         lambda f, o: CP.timestep_coupling(
             f, grid, dm, o, atmos, consts, cps, fs, dt, sim.cell_cap
         )
     )
-    res0 = f_collide(fl)
-    f_update = jax.jit(
-        lambda f, si: U.timestep_floe_properties(f, dt, fs, si)
-    )
-    f_wrap = jax.jit(lambda f: U.wrap_periodic(f, dm))
-    f_rm = jax.jit(lambda f, o: S.remove_and_dissolve(f, o, grid, dm, fs))
-    step = build_step(sim)
+    ms = timeit(lambda: cp_fn(fl, oc))
+    print(f"coupling (one-way):   {ms:8.3f} ms", flush=True)
 
-    @jax.jit
-    def f_scan10(f, o, d):
-        def body(carry, ts):
-            fl_, oc_, dm_ = carry
-            fl_, oc_, dm_, _ = step(fl_, oc_, dm_, ts)
-            return (fl_, oc_, dm_), None
+    # integrator
+    si = jnp.zeros_like(fl.stress_accum)
+    uf_fn = jax.jit(lambda f: UF.timestep_floe_properties(f, dt, fs, si))
+    ms = timeit(lambda: uf_fn(fl))
+    print(f"integrator:           {ms:8.3f} ms", flush=True)
 
-        (f2, o2, d2), _ = jax.lax.scan(body, (f, o, d), jnp.arange(1, 11))
-        return f2
+    # removal/dissolve
+    from subzero_tpu.physics import simplification as S
 
-    t_null = timeit(f_null, (fl,), n=50)
-    t_broad = timeit(f_broad, (fl,))
-    t_fused = timeit(f_fused, (fl, pairs))
-    t_narrow = timeit(f_narrow, (fl, pairs))
-    t_collide = timeit(f_collide, (fl,))
-    t_couple = timeit(f_couple, (fl, oc))
-    t_update = timeit(f_update, (fl, res0.stress_instant))
-    t_wrap = timeit(f_wrap, (fl,))
-    t_rm = timeit(f_rm, (fl, oc))
-    t_step = timeit(lambda f, o, d: step(f, o, d, jnp.asarray(1)), (fl, oc, dm))
-    t_scan = timeit(f_scan10, (fl, oc, dm), n=10)
-
-    for name, t in [
-        ("null dispatch", t_null),
-        ("broad_phase", t_broad),
-        ("fused two_cross_pass[pair_cap]", t_fused),
-        (f"slow_intersect_regions[{cc}]", t_narrow),
-        ("timestep_collisions (total)", t_collide),
-        ("timestep_coupling", t_couple),
-        ("timestep_floe_properties", t_update),
-        ("wrap_periodic", t_wrap),
-        ("remove_and_dissolve", t_rm),
-        ("FULL STEP (single dispatch)", t_step),
-        ("FULL STEP (scan, per step)", t_scan / 10.0),
-    ]:
-        print(f"{name:42s} {t * 1e3:9.3f} ms", flush=True)
+    rm_fn = jax.jit(lambda f, o: S.remove_and_dissolve(f, o, grid, dm, fs))
+    ms = timeit(lambda: rm_fn(fl, oc))
+    print(f"remove/dissolve:      {ms:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
