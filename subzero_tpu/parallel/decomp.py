@@ -1,0 +1,378 @@
+"""Explicit 1-D spatial domain decomposition with ppermute halo exchange.
+
+This is the scalable multi-device/multi-host execution path: the global
+domain is split into x-slabs, one per device along a 1-D mesh axis; each
+device owns the floes whose centroid lies in its slab.  Per step, inside a
+single ``jax.shard_map``:
+
+  1. **Halo exchange** - floes within ``margin`` of a slab edge are packed
+     into fixed-size buffers and sent to the adjacent device with
+     ``jax.lax.ppermute`` (wrapping through periodic east/west boundaries
+     with a coordinate shift, exactly like the reference's ghost floes
+     through periodic walls, /root/reference/src/physical_processes/
+     collisions.jl:866-1174 - but across *subdomain* edges, which the
+     single-process reference never needed).
+  2. **Local contact compute** - collisions run on the local pool extended
+     with the received halo copies.  Seam pairs are computed on BOTH owning
+     devices (2x flops on the seam only), so no reverse force communication
+     is needed - the distributed analog of the reference's ghost fold-back
+     reduction (collisions.jl:830-862).
+  3. **Coupling / integration** - per-floe work is local; two-way-coupling
+     grid sums and dissolved-mass deposits are psum-reduced over the mesh
+     axis so ocean state stays replicated-consistent.
+  4. **Migration** - floes whose centroid crossed a slab edge are packed
+     (full state) and ppermuted to the new owner, landing in free pool
+     slots.
+
+Communication volume is O(boundary floes), not O(all floes): this is what
+gives >= 80% scaling efficiency at many devices, versus the
+sharding-propagation path (parallel/mesh.py) whose gathered pair lists
+grow with the whole pool.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.domain import Domain, EAST, WEST
+from ..core.floes import FloeState
+from ..physics import collisions as _collisions
+from ..physics import coupling as _coupling
+from ..physics import simplification as _simplification
+from ..physics import update_floe as _update_floe
+
+__all__ = ["Decomp", "make_decomp", "distribute", "gather", "build_decomp_step"]
+
+# fields a halo (collision ghost) copy needs: everything the pair kernel and
+# force recipe read from either side of a contact
+_HALO_FIELDS = (
+    "verts", "nverts", "centroid", "height", "area", "rmax",
+    "u", "v", "xi", "active",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Decomp:
+    """Static decomposition parameters (all shapes compile-time constants)."""
+
+    mesh: Mesh
+    axis: str            # mesh axis name
+    n_dev: int           # devices along the axis
+    local_cap: int       # per-device floe pool capacity
+    halo_cap: int        # max floes ghosted across one slab edge
+    mig_cap: int         # max floes migrating across one slab edge per step
+    margin: float        # halo width (>= 2 * max floe radius)
+
+
+def make_mesh_1d(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return Mesh(np.array(devs[:n_devices]), axis_names=(axis,))
+
+
+def make_decomp(
+    floes: FloeState,
+    domain: Domain,
+    n_devices: Optional[int] = None,
+    axis: str = "x",
+    local_cap: Optional[int] = None,
+    halo_cap: Optional[int] = None,
+    mig_cap: Optional[int] = None,
+    margin: Optional[float] = None,
+) -> Decomp:
+    """Choose decomposition capacities from the initial floe field."""
+    mesh = make_mesh_1d(n_devices, axis)
+    D = mesh.devices.size
+    act = np.asarray(floes.active)
+    cx = np.asarray(floes.centroid[:, 0])[act]
+    rmax = np.asarray(floes.rmax)[act]
+    vals = np.asarray(domain.vals, float)
+    w, e = vals[WEST], vals[EAST]
+    slab_w = (e - w) / D
+    if margin is None:
+        margin = float(2.2 * rmax.max()) if rmax.size else slab_w / 4
+    if margin > slab_w:
+        raise ValueError(
+            f"halo margin {margin:.3g} exceeds slab width {slab_w:.3g}; "
+            f"use fewer devices or smaller floes"
+        )
+    slab = np.clip(((cx - w) / slab_w).astype(int), 0, D - 1)
+    occ = np.bincount(slab, minlength=D)
+    if local_cap is None:
+        # headroom for density imbalance + fracture pieces
+        local_cap = int(max(2 * occ.max() + 8, 16))
+    if halo_cap is None:
+        near = 0
+        for d in range(D):
+            lo = w + d * slab_w
+            hi = lo + slab_w
+            m = (slab == d) & (
+                (cx - rmax < lo + margin) | (cx + rmax > hi - margin)
+            )
+            near = max(near, int(m.sum()))
+        halo_cap = int(max(2 * near + 8, 8))
+    if mig_cap is None:
+        mig_cap = int(max(local_cap // 8, 8))
+    return Decomp(
+        mesh=mesh, axis=axis, n_dev=D, local_cap=local_cap,
+        halo_cap=halo_cap, mig_cap=mig_cap, margin=float(margin),
+    )
+
+
+def distribute(floes: FloeState, domain: Domain, dec: Decomp) -> FloeState:
+    """Partition a global floe pool into per-device local pools.
+
+    Returns a FloeState whose arrays have leading shape [D * local_cap],
+    device-sharded along the mesh axis (slab d occupies rows
+    [d*local_cap, (d+1)*local_cap)).
+    """
+    D, Nl = dec.n_dev, dec.local_cap
+    act = np.asarray(floes.active)
+    vals = np.asarray(domain.vals, float)
+    w, e = vals[WEST], vals[EAST]
+    slab_w = (e - w) / D
+    cx = np.asarray(floes.centroid[:, 0])
+    slab = np.clip(((cx - w) / slab_w).astype(int), 0, D - 1)
+
+    def place(a):
+        a = np.asarray(a)
+        out = np.zeros((D * Nl,) + a.shape[1:], a.dtype)
+        for d in range(D):
+            rows = np.flatnonzero(act & (slab == d))
+            if rows.size > Nl:
+                raise ValueError(
+                    f"slab {d} holds {rows.size} floes > local_cap {Nl}"
+                )
+            out[d * Nl : d * Nl + rows.size] = a[rows]
+        return jnp.asarray(out)
+
+    stacked = jax.tree.map(place, floes)
+    sharding = NamedSharding(dec.mesh, P(dec.axis))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), stacked)
+
+
+def gather(floes_dist: FloeState) -> FloeState:
+    """Bring a distributed pool back to host as one (unordered) global pool."""
+    return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), floes_dist)
+
+
+def _pack(floes: FloeState, mask, cap: int, fields):
+    """Compact masked floes into a fixed [cap] buffer of the given fields."""
+    N = floes.capacity
+    (sel,) = jnp.nonzero(mask, size=cap, fill_value=N)
+    valid = sel < N
+    safe = jnp.minimum(sel, N - 1)
+    out = {f: getattr(floes, f)[safe] for f in fields}
+    out["active"] = out["active"] & valid
+    n_over = jnp.sum(mask.astype(jnp.int32)) > cap
+    return out, n_over
+
+
+def _as_halo_state(template: FloeState, packed: dict, cap: int) -> FloeState:
+    """A FloeState of capacity cap with the packed fields filled in and all
+    other fields zero (halo copies never need them)."""
+    base = jax.tree.map(
+        lambda a: jnp.zeros((cap,) + a.shape[1:], a.dtype), template
+    )
+    return base._replace(**packed)
+
+
+def _shift_x(state_dict: dict, dx):
+    out = dict(state_dict)
+    out["verts"] = state_dict["verts"] + jnp.stack(
+        [jnp.broadcast_to(dx, state_dict["verts"].shape[:1]),
+         jnp.zeros(state_dict["verts"].shape[:1],
+                   state_dict["verts"].dtype)], axis=-1)[:, None, :]
+    out["centroid"] = state_dict["centroid"] + jnp.stack(
+        [jnp.broadcast_to(dx, state_dict["centroid"].shape[:1]),
+         jnp.zeros(state_dict["centroid"].shape[:1],
+                   state_dict["centroid"].dtype)], axis=-1)
+    return out
+
+
+def build_decomp_step(sim, dec: Decomp):
+    """Compile one distributed step: (floes_dist, ocean, domain, tstep) ->
+    (floes_dist, ocean, domain, overflow).
+
+    ``sim`` provides the physics configuration (same Simulation object as the
+    single-device path); the floe pool argument must come from
+    ``distribute``.  Host life-cycle passes (fracture/weld/ridge-raft) are
+    not distributed: run them on ``gather``-ed state at their low cadences.
+    """
+    grid = sim.model.grid
+    atmos = sim.model.atmos
+    consts = sim.consts
+    dt = float(sim.dt)
+    fs = sim.floe_settings
+    cps = sim.coupling_settings
+    cls = sim.collision_settings
+    D = dec.n_dev
+    Nl = dec.local_cap
+    H = dec.halo_cap
+    Hm = dec.mig_cap
+    axis = dec.axis
+    ext_cap = Nl + 2 * H
+    # keep the same per-floe candidate budget as the single-device config
+    row_cap = max(sim.pair_cap // max(sim.model.floes.capacity, 1), 8)
+    pair_cap = max(row_cap * ext_cap, 256)
+
+    # ppermute perms: send right = (d -> d+1), send left = (d -> d-1)
+    def perms(domain: Domain):
+        wrap = domain.ew_periodic
+        right = [(d, (d + 1) % D) for d in range(D if wrap else D - 1)]
+        left = [((d + 1) % D, d) for d in range(D if wrap else D - 1)]
+        return right, left
+
+    def pshuffle(tree, perm):
+        return jax.tree.map(
+            lambda a: jax.lax.ppermute(a, axis, perm), tree
+        )
+
+    def local_step(floes, ocean, domain: Domain, tstep):
+        # floes arrive as the local [Nl, ...] slab block
+        me = jax.lax.axis_index(axis)
+        w_val = domain.vals[WEST]
+        e_val = domain.vals[EAST]
+        Lx = e_val - w_val
+        slab_w = Lx / D
+        lo = w_val + me.astype(Lx.dtype) * slab_w
+        hi = lo + slab_w
+        overflow = jnp.asarray(False)
+        perm_r, perm_l = perms(domain)
+
+        # ---- 1. halo exchange (ghost floes across slab edges) ------------
+        cx = floes.centroid[:, 0]
+        r = floes.rmax
+        send_l_mask = floes.active & (cx - r < lo + dec.margin)
+        send_r_mask = floes.active & (cx + r > hi - dec.margin)
+        pk_l, ov1 = _pack(floes, send_l_mask, H, _HALO_FIELDS)
+        pk_r, ov2 = _pack(floes, send_r_mask, H, _HALO_FIELDS)
+        overflow = overflow | ov1 | ov2
+        # receive from right neighbor (their left-edge floes) and from left
+        recv_from_right = pshuffle(pk_l, perm_l)
+        recv_from_left = pshuffle(pk_r, perm_r)
+        if domain.ew_periodic:
+            # periodic wrap: device 0's left neighbor is D-1 whose floes sit
+            # near the east edge - shift them west by Lx (and mirrored)
+            recv_from_left = _shift_x(
+                recv_from_left, jnp.where(me == 0, -Lx, 0.0)
+            )
+            recv_from_right = _shift_x(
+                recv_from_right, jnp.where(me == D - 1, Lx, 0.0)
+            )
+        halo_l = _as_halo_state(floes, recv_from_left, H)
+        halo_r = _as_halo_state(floes, recv_from_right, H)
+        ext = jax.tree.map(
+            lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+            floes, halo_l, halo_r,
+        )
+
+        # ---- 2. collisions on the extended pool --------------------------
+        stress_instant = jnp.zeros_like(floes.stress_accum)
+        if cls.collisions_on:
+            res = _collisions.timestep_collisions(
+                ext, domain, consts, dt, cls, pair_cap, sim.clip_cap, None
+            )
+            # keep only the local slice; halo force accumulations are the
+            # neighbor's responsibility (it computes the seam pair itself)
+            loc = jax.tree.map(lambda a: a[:Nl], res.floes)
+            floes = floes._replace(
+                collision_force=loc.collision_force,
+                collision_trq=loc.collision_trq,
+                overarea=loc.overarea,
+                remove=loc.remove,
+                fuse_with=loc.fuse_with,
+            )
+            stress_instant = res.stress_instant[:Nl]
+            overflow = overflow | res.overflow
+        domain = domain.update_boundaries(dt)
+
+        # ---- 3. coupling (psum-reduced grid sums) -------------------------
+        if cps.coupling_on:
+            def do_coupling(args):
+                floes_, ocean_ = args
+                return _coupling.timestep_coupling(
+                    floes_, grid, domain, ocean_, atmos, consts, cps, fs,
+                    dt, sim.cell_cap, axis_name=axis,
+                )
+
+            def skip_coupling(args):
+                floes_, ocean_ = args
+                if cps.two_way_coupling_on:
+                    # keep collective structure identical on both branches
+                    zero = jax.lax.psum(
+                        jnp.zeros((), ocean_.tau_x.dtype), axis
+                    )
+                    ocean_ = ocean_._replace(tau_x=ocean_.tau_x + zero)
+                return floes_, ocean_
+
+            floes, ocean = jax.lax.cond(
+                jnp.mod(tstep, cps.dt) == 0, do_coupling, skip_coupling,
+                (floes, ocean),
+            )
+
+        # ---- 4. integrate + periodic wrap ---------------------------------
+        floes = _update_floe.timestep_floe_properties(
+            floes, dt, fs, stress_instant
+        )
+        floes = _update_floe.wrap_periodic(floes, domain)
+
+        # ---- 5. removal / dissolution (psum dissolved deposit) ------------
+        diss0 = ocean.dissolved
+        floes, ocean = _simplification.remove_and_dissolve(
+            floes, ocean, grid, domain, fs
+        )
+        ocean = ocean._replace(
+            dissolved=diss0 + jax.lax.psum(ocean.dissolved - diss0, axis)
+        )
+
+        # ---- 6. migration of floes that crossed a slab edge ---------------
+        cx = floes.centroid[:, 0]
+        dest = jnp.clip(
+            jnp.floor((cx - w_val) / slab_w).astype(jnp.int32), 0, D - 1
+        )
+        hop = jnp.mod(dest - me, D)
+        go_right = floes.active & (hop >= 1) & (hop <= D // 2)
+        go_left = floes.active & (dest != me) & ~go_right
+        mig_fields = floes._fields
+        mg_r, ov3 = _pack(floes, go_right, Hm, mig_fields)
+        mg_l, ov4 = _pack(floes, go_left, Hm, mig_fields)
+        overflow = overflow | ov3 | ov4
+        floes = floes._replace(active=floes.active & ~(go_right | go_left))
+        recv_r = pshuffle(mg_l, perm_l)   # from right neighbor
+        recv_l = pshuffle(mg_r, perm_r)   # from left neighbor
+        # insert received floes into free slots
+        free = ~floes.active
+        (fidx,) = jnp.nonzero(free, size=2 * Hm, fill_value=Nl)
+        for k, recv in enumerate((recv_l, recv_r)):
+            slots = fidx[k * Hm : (k + 1) * Hm]
+            ok = recv["active"] & (slots < Nl)
+            overflow = overflow | jnp.any(recv["active"] & (slots >= Nl))
+            idx = jnp.where(ok, slots, Nl)
+            floes = floes._replace(**{
+                f: getattr(floes, f).at[idx].set(recv[f], mode="drop")
+                for f in mig_fields
+            })
+            # only genuinely received floes become active
+            floes = floes._replace(
+                active=floes.active.at[idx].set(ok, mode="drop")
+            )
+
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+        return floes, ocean, domain, overflow
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=dec.mesh,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=(P(axis), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -203,11 +203,15 @@ def calc_two_way_coupling(
     floe_settings: FloeSettings,
     dt: float,
     cell_cap: int,
+    axis_name: str | None = None,
 ) -> OceanState:
     """Ice/atmosphere effect on the ocean (coupling.jl:1617-1680).
 
     cell_cap: static max number of line-centered cells a floe can cover in
     each direction (chosen at simulation build from max floe radius).
+    axis_name: when running inside shard_map with the floe pool sharded over
+    a device mesh axis, per-cell sums from local floes are psum-reduced over
+    that axis so the resulting ocean state is replicated-consistent.
     """
     floes = one_way.floes
     N, P = one_way.pt_x.shape
@@ -316,6 +320,13 @@ def calc_two_way_coupling(
         w_area.reshape(-1), cell_flat.reshape(-1), num_segments=C
     )
 
+    if axis_name is not None:
+        # cross-shard reduction BEFORE the area-weighted division (the
+        # division is nonlinear, so partial sums must be combined first)
+        tau_x_cell = jax.lax.psum(tau_x_cell, axis_name)
+        tau_y_cell = jax.lax.psum(tau_y_cell, axis_name)
+        ice_area_cell = jax.lax.psum(ice_area_cell, axis_name)
+
     tau_x = jnp.where(ice_area_cell > 0, tau_x_cell / jnp.where(ice_area_cell > 0, ice_area_cell, 1.0), 0.0)
     tau_y = jnp.where(ice_area_cell > 0, tau_y_cell / jnp.where(ice_area_cell > 0, ice_area_cell, 1.0), 0.0)
     cell_area = grid.dx * grid.dy
@@ -423,11 +434,13 @@ def timestep_coupling(
     floe_settings: FloeSettings,
     dt: float,
     cell_cap: int = 16,
+    axis_name: str | None = None,
 ):
     """timestep_coupling! (coupling.jl:1705-1738)."""
     ow = calc_one_way_coupling(floes, grid, domain, ocean, atmos, consts)
     if coupling_settings.two_way_coupling_on:
         ocean = calc_two_way_coupling(
-            ow, grid, domain, ocean, atmos, consts, floe_settings, dt, cell_cap
+            ow, grid, domain, ocean, atmos, consts, floe_settings, dt,
+            cell_cap, axis_name,
         )
     return ow.floes, ocean

@@ -86,3 +86,126 @@ def test_sharded_multi_step():
             floes, ocean, domain, jnp.asarray(k)
         )
     assert int(jnp.sum(floes.active)) > 0
+
+
+# ---------------------------------------------------------------------------
+# Explicit 1-D domain decomposition (ppermute halos + migration)
+# ---------------------------------------------------------------------------
+
+from subzero_tpu.parallel import build_decomp_step, distribute, gather, make_decomp
+
+
+def _match_by_id(fa, fb):
+    """Return (state_a, state_b) rows of the two pools ordered by floe id."""
+    ida = np.asarray(fa.id)[np.asarray(fa.active)]
+    idb = np.asarray(fb.id)[np.asarray(fb.active)]
+    assert sorted(ida.tolist()) == sorted(idb.tolist())
+
+    def rows(f):
+        act = np.asarray(f.active)
+        order = np.argsort(np.asarray(f.id)[act])
+        return {
+            k: np.asarray(getattr(f, k))[act][order]
+            for k in ("id", "centroid", "u", "v", "xi", "height", "area")
+        }
+
+    return rows(fa), rows(fb)
+
+
+def make_wide_sim(n_floes=128, dtype=jnp.float64, **kw):
+    """Wide (8:1) domain so 8 x-slabs each exceed the halo margin."""
+    grid = make_grid(0.0, 8e5, 0.0, 1e5, Nx=40, Ny=5)
+    ocean = make_ocean(grid, u=0.2, v=0.0, temp=0.0, dtype=dtype)
+    atmos = make_atmos(grid, temp=-1.0, dtype=dtype)
+    domain = make_domain(grid, *([BoundaryKind.PERIODIC] * 4), dtype=dtype)
+    fs = FloeSettings(
+        min_floe_area=1e6,
+        subfloe_point_generator=SubGridPointsGenerator.from_grid(grid, 2),
+    )
+    floes = initialize_floe_field(
+        n_floes, [0.45], domain, 0.25, 0.0, fs, rng=np.random.default_rng(3),
+        dtype=dtype,
+    )
+    model = make_model(grid, ocean, atmos, domain, floes)
+    return Simulation(
+        model=model,
+        consts=Constants(E=1e6),
+        dt=20,
+        n_dt=0,
+        floe_settings=fs,
+        coupling_settings=kw.pop(
+            "coupling_settings", CouplingSettings(two_way_coupling_on=True)
+        ),
+        **kw,
+    )
+
+
+def test_decomp_matches_single_device():
+    sim = make_wide_sim()
+    m = sim.model
+    # this config has a dense contact graph (large rmax): give both paths a
+    # generous per-floe candidate budget so neither truncates
+    sim.pair_cap = 32 * m.floes.capacity
+
+    # --- single-device trajectory
+    step = build_step(sim)
+    f1, o1, d1 = m.floes, m.ocean, m.domain
+    for k in range(5):
+        f1, o1, d1, ov1 = step(f1, o1, d1, jnp.asarray(k))
+        assert not bool(ov1)
+
+    # --- decomposed trajectory over 4 x-slabs
+    sim2 = make_wide_sim()
+    m2 = sim2.model
+    sim2.pair_cap = 32 * m2.floes.capacity
+    dec = make_decomp(m2.floes, m2.domain, n_devices=4)
+    fd = distribute(m2.floes, m2.domain, dec)
+    dstep = build_decomp_step(sim2, dec)
+    od, dd = m2.ocean, m2.domain
+    overflow = None
+    for k in range(5):
+        fd, od, dd, overflow = dstep(fd, od, dd, jnp.asarray(k))
+    assert not bool(overflow)
+
+    fg = gather(fd)
+    a, b = _match_by_id(f1, fg)
+    # same physics through a different pair enumeration: allclose, not bitwise
+    np.testing.assert_allclose(b["centroid"], a["centroid"], rtol=0, atol=1e-4)
+    np.testing.assert_allclose(b["u"], a["u"], rtol=1e-4, atol=1e-10)
+    np.testing.assert_allclose(b["v"], a["v"], rtol=1e-4, atol=1e-10)
+    np.testing.assert_allclose(b["xi"], a["xi"], rtol=1e-4, atol=1e-12)
+    np.testing.assert_allclose(b["height"], a["height"], rtol=1e-9)
+    # ocean state (two-way coupling psum path) must be replicated-consistent
+    np.testing.assert_allclose(
+        np.asarray(od.si_frac), np.asarray(o1.si_frac), rtol=1e-4, atol=1e-10
+    )
+
+
+def test_decomp_migration():
+    """Floes pushed across slab edges change owners without loss."""
+    from subzero_tpu.settings import CollisionSettings
+
+    sim = make_wide_sim(
+        coupling_settings=CouplingSettings(coupling_on=False),
+        collision_settings=CollisionSettings(collisions_on=False),
+    )
+    m = sim.model
+    # strong eastward advection so floes cross slab edges (and the
+    # periodic east boundary wraps ownership back to device 0)
+    floes = m.floes._replace(
+        u=jnp.where(m.floes.active, 500.0, 0.0),
+        p_dudt=jnp.zeros_like(m.floes.p_dudt),
+    )
+    dec = make_decomp(floes, m.domain, n_devices=4)
+    fd = distribute(floes, m.domain, dec)
+    dstep = build_decomp_step(sim, dec)
+    od, dd = m.ocean, m.domain
+    n0 = int(jnp.sum(floes.active))
+    ids0 = sorted(np.asarray(floes.id)[np.asarray(floes.active)].tolist())
+    for k in range(60):
+        fd, od, dd, overflow = dstep(fd, od, dd, jnp.asarray(k))
+        assert not bool(overflow), f"capacity overflow at step {k}"
+    fg = gather(fd)
+    assert int(jnp.sum(fg.active)) == n0
+    ids1 = sorted(np.asarray(fg.id)[np.asarray(fg.active)].tolist())
+    assert ids0 == ids1
