@@ -301,12 +301,18 @@ def determine_fractures(hf: HostFloes, criteria, fs: FloeSettings):
     if len(idxs) == 0:
         return []
     poly = criteria_polygon(criteria, f["height"][idxs])
+    # principal-stress area scaling (_scale_principal_stress!,
+    # stress_calculators.jl:127-132): sigma_vals *= (area/min_area)^alpha;
+    # equivalent to scaling the fracture criteria, cheaper to apply here
+    alpha = getattr(fs.stress_calculator, "alpha", 0.0)
     out = []
     for i in idxs:
         s = f["stress_accum"][i]
         evals = np.linalg.eigvalsh(np.asarray(s, float))
         if f["area"][i] < fs.min_floe_area:
             continue
+        if alpha != 0.0:
+            evals = evals * (f["area"][i] / fs.min_floe_area) ** alpha
         if not host_clip._point_in((evals[0], evals[1]), poly):
             out.append(int(i))
     return out

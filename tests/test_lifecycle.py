@@ -110,6 +110,28 @@ class TestFracture:
         idx = lh.determine_fractures(hf, HiblerYieldCurve(), FSET)
         assert idx == [0, 1]
 
+    def test_determine_fractures_alpha_scaling(self):
+        # _scale_principal_stress! (stress_calculators.jl:127-132): with a
+        # large negative alpha the scaled eigenvalues shrink toward the
+        # origin (inside the yield ellipse), so nothing fractures
+        from subzero_tpu.settings import DecayAreaScaledCalculator
+
+        fl = floes_with_stress()
+        hf = lh.HostFloes(fl)
+        fs_neg = FloeSettings(
+            min_floe_area=1e6,
+            subfloe_point_generator=SubGridPointsGenerator(5e8),
+            stress_calculator=DecayAreaScaledCalculator(alpha=-10.0),
+        )
+        assert lh.determine_fractures(hf, HiblerYieldCurve(), fs_neg) == []
+        # alpha = 0 reproduces the unscaled behavior
+        fs_zero = FloeSettings(
+            min_floe_area=1e6,
+            subfloe_point_generator=SubGridPointsGenerator(5e8),
+            stress_calculator=DecayAreaScaledCalculator(alpha=0.0),
+        )
+        assert lh.determine_fractures(hf, HiblerYieldCurve(), fs_zero) == [0, 1]
+
     def test_split_floe_conserves(self):
         # test_fractures.jl:208-237
         fl = floes_with_stress()
