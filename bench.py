@@ -77,15 +77,29 @@ def main():
     pairs = find_candidate_pairs(fl, dm, sim.pair_cap)
     pairs_per_step = int(jnp.sum(pairs.valid))
 
+    # scan the step so per-dispatch host<->device overhead amortizes away
+    # (production runs use run_scan the same way when no host-side
+    # topology ops are scheduled)
+    n_steps = 50
+
+    @jax.jit
+    def run_block(fl, oc, dm, t0):
+        def body(carry, t):
+            fl, oc, dm = carry
+            fl, oc, dm, _ = step(fl, oc, dm, t)
+            return (fl, oc, dm), None
+
+        (fl, oc, dm), _ = jax.lax.scan(
+            body, (fl, oc, dm), t0 + jnp.arange(n_steps)
+        )
+        return fl, oc, dm
+
     # warmup/compile
-    t = jnp.asarray(0)
-    fl1, oc1, dm1, _ = step(fl, oc, dm, t)
+    fl1, oc1, dm1 = run_block(fl, oc, dm, jnp.asarray(1))
     jax.block_until_ready(fl1.centroid)
 
-    n_steps = 50
     t0 = time.perf_counter()
-    for k in range(n_steps):
-        fl, oc, dm, _ = step(fl, oc, dm, jnp.asarray(k + 1))
+    fl, oc, dm = run_block(fl, oc, dm, jnp.asarray(1))
     jax.block_until_ready(fl.centroid)
     elapsed = time.perf_counter() - t0
 

@@ -559,6 +559,27 @@ def two_cross_pass(pv, pn, qv, qn, perturb) -> TwoCrossResult:
     )
 
 
+def two_cross_dispatch(pv, pn, qv, qn, perturb) -> TwoCrossResult:
+    """two_cross_pass with a pool-level small-ring fast path.
+
+    Floes typically carry far fewer vertices than the padded capacity
+    (Voronoi floes ~6-12; the smoothing cap is 30).  When every ring in the
+    batch fits in 16 vertices, the O(V*W*B) crossing sweep runs on the
+    first-16 slice - 4x less work at V=32.  ``lax.cond`` keeps a single
+    compiled program that adapts when fusing/welding grows rings past 16.
+    """
+    V = pv.shape[-2]
+    W = qv.shape[-2]
+    if V <= 16 and W <= 16:
+        return two_cross_pass(pv, pn, qv, qn, perturb)
+    small = (jnp.max(pn) <= 16) & (jnp.max(qn) <= 16)
+    return jax.lax.cond(
+        small,
+        lambda: two_cross_pass(pv[:, :16], pn, qv[:, :16], qn, perturb),
+        lambda: two_cross_pass(pv, pn, qv, qn, perturb),
+    )
+
+
 def count_crossings(pv, pn, qv, qn, perturb=0.0):
     """Cheap stage-1 narrow-phase filter: number of proper boundary
     crossings between two padded rings, plus the containment intersection

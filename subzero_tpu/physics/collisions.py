@@ -46,7 +46,7 @@ from ..geometry.clip import (
     DEFAULT_CAP,
     count_crossings,
     intersect_regions,
-    two_cross_pass,
+    two_cross_dispatch,
 )
 from ..settings import CollisionSettings
 
@@ -375,7 +375,7 @@ def pair_overlaps(
         q_is_floe, floes.rmax[jnp.minimum(j0, N - 1)], floes.rmax[i0]
     )
     perturb0 = eps_rel * scale0
-    tc = two_cross_pass(
+    tc = two_cross_dispatch(
         floes.verts[i0],
         floes.nverts[i0],
         q_verts[j0] + pairs.shift[:, None, :],
@@ -692,7 +692,7 @@ def timestep_collisions(
     )
     perturb0 = eps_rel * scale0
 
-    tc = two_cross_pass(
+    tc = two_cross_dispatch(
         floes.verts[i0],
         floes.nverts[i0],
         q_verts[j0] + pairs.shift[:, None, :],
