@@ -273,9 +273,17 @@ def restart(
     new_n_dt: int,
     writers: Optional[OutputWriters] = None,
     start_tstep: int = 0,
+    **sim_kwargs,
 ):
     """restart! (simulation.jl:310-340): rebuild a Simulation from the
-    initial-state and checkpoint files and return it ready to run."""
+    initial-state and checkpoint files and return it ready to run.
+
+    Process settings are not serialized (they can hold callables/criteria
+    objects); pass the original settings through ``sim_kwargs`` to resume a
+    run exactly - with the same settings, resume is bit-exact including the
+    RNG stream (saved per checkpoint and restored here; the reference's
+    restart! is documented as approximate, simulation.jl:306-308).
+    """
     from ..constants import Constants
     from ..core.domain import Domain, empty_topography, TopographyField
     from ..core.fields import AtmosState, OceanState
@@ -305,13 +313,21 @@ def restart(
         atmos = AtmosState(
             **{k: jnp.asarray(v[()]) for k, v in f[f"atmos/{last}"].items()}
         )
+        rng_state = None
+        if "rng" in f and str(last) in f["rng"]:
+            rng_state = json.loads(f[f"rng/{last}"][()])
     model = Model(grid=grid, ocean=ocean, atmos=atmos, domain=domain, floes=floes)
-    sim = Simulation(
-        model=model,
+    kwargs = dict(
         consts=Constants(**meta["consts"]),
         dt=meta["dt"],
-        n_dt=new_n_dt,
         name=meta["name"],
+    )
+    kwargs.update(sim_kwargs)  # caller-passed settings win over file metadata
+    sim = Simulation(
+        model=model,
+        n_dt=new_n_dt,
         writers=writers,
+        rng_state=rng_state,
+        **kwargs,
     )
     return sim, last

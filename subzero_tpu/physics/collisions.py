@@ -344,9 +344,12 @@ def pair_overlaps(
     ridge/raft pass (the analog of walking the reference's per-floe
     interaction lists, ridge_raft.jl:704-753).
 
-    Returns (i, j, area, valid): j >= 0 is a floe pool index; j < 0 encodes
-    walls (-1..-4 for N,S,E,W) and topography (-5 - t), matching the
-    reference's interaction indexing (domains.jl:150-163).
+    Returns (i, j, area, valid, overflow): j >= 0 is a floe pool index;
+    j < 0 encodes walls (-1..-4 for N,S,E,W) and topography (-5 - t),
+    matching the reference's interaction indexing (domains.jl:150-163).
+    ``overflow`` (scalar bool) fires when the broad phase or the slow-path
+    multi-region capacity truncated candidates, i.e. the overlap list may
+    be incomplete (mirrors timestep_collisions' overflow reporting).
     """
     N = floes.capacity
     dtype = floes.verts.dtype
@@ -386,6 +389,7 @@ def pair_overlaps(
     PC = pairs.qi.shape[0]
     slow_cap = max(pair_cap // 128, 32)
     slow_mask = pairs.valid & (tc.cnt > 0) & ~tc.ok
+    n_slow = jnp.sum(slow_mask.astype(jnp.int32))
     (ssel,) = jnp.nonzero(slow_mask, size=slow_cap, fill_value=PC)
     svalid = ssel < PC
     ssafe = jnp.minimum(ssel, PC - 1)
@@ -399,17 +403,27 @@ def pair_overlaps(
         perturb0[ssafe],
     )
     slow_total = jnp.where(svalid, regions.total_area, 0.0)
+    s_onehot = ssel[:, None] == jnp.arange(PC, dtype=ssel.dtype)[None, :]
     area = (
         tc.contain
         + jnp.where(tc.ok, tc.area, 0.0)
-        + jnp.zeros_like(tc.area).at[ssafe].add(slow_total)
+        + jax.lax.dot_general(
+            s_onehot.astype(slow_total.dtype), slow_total,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=slow_total.dtype,
+        )
     )
     valid = pairs.valid & (area > 0)
     # encode j: floes stay as pool index; walls -> -1..-4; topo -> -5-t
     j_enc = jnp.where(
         j0 < N, j0, jnp.where(j0 < N + 4, -(j0 - N) - 1, -(j0 - N - 4) - 5)
     )
-    return i0, j_enc, area, valid
+    overflow = (
+        pairs.overflow
+        | (n_slow > slow_cap)
+        | jnp.any(jnp.where(svalid, regions.overflow, False))
+    )
+    return i0, j_enc, area, valid, overflow
 
 
 class _QPool(NamedTuple):
@@ -545,6 +559,19 @@ def _region_forces(
     return force, fp, overlap_rec
 
 
+def _onehot_sum(payload: jnp.ndarray, idx: jnp.ndarray, N: int) -> jnp.ndarray:
+    """Scatter-add ``payload [K, F]`` into ``out [N, F]`` at rows ``idx [K]``
+    via a one-hot matmul.  TPU scatters serialize (each segment_sum was
+    ~0.1 ms at K~4k); a [K, N] x [K, F] contraction is one MXU pass.  Rows
+    with idx outside [0, N) are dropped."""
+    dtype = payload.dtype
+    onehot = (idx[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]).astype(dtype)
+    return jax.lax.dot_general(
+        onehot, payload, (((0,), (0,)), ((), ())),
+        preferred_element_type=dtype,
+    )  # [N, F]
+
+
 def _accumulate_contacts(
     floes: FloeState,
     N: int,
@@ -557,32 +584,32 @@ def _accumulate_contacts(
     force: jnp.ndarray,      # [K, R, 2]
     fp: jnp.ndarray,         # [K, R, 2]
     overlap_rec: jnp.ndarray,  # [K, R]
+    row_cap: int | None = None,
 ):
-    """Symmetric +F/-F segment-sum accumulation of one contact list onto the
-    floe pool (replaces the reference's serial reaction pass,
-    collisions.jl:799-862). Returns (col_force, col_trq, stress_moments,
-    overarea) per floe."""
-    seg_i = jnp.where(pair_valid, i, N).astype(jnp.int32)
-    jf = jnp.where(is_ff, j, N).astype(jnp.int32)  # only floe reactions
+    """Symmetric +F/-F accumulation of one contact list onto the floe pool
+    (replaces the reference's serial reaction pass, collisions.jl:799-862).
 
-    def acc_i(x):
-        return jax.ops.segment_sum(x, seg_i, num_segments=N + 1)[:N]
-
-    def acc_j(x):
-        return jax.ops.segment_sum(x, jf, num_segments=N + 1)[:N]
+    Scatter-free: the i side of the broad-phase candidate list is
+    row-structured (i == k // row_cap), so its sums are plain reshape
+    reductions when ``row_cap`` is given; the data-dependent j side goes
+    through one one-hot matmul.  Returns (col_force, col_trq,
+    stress_moments, overarea) per floe.
+    """
+    dtype = force.dtype
+    K = i.shape[0]
 
     fsum = jnp.sum(force, axis=1)  # [K, 2]
-    col_force = acc_i(fsum) - acc_j(fsum)
 
     # torques about each side's centroid (calc_torque!, collisions.jl:673-686)
     ci = floes.centroid[i]
     ri_ = fp - ci[:, None, :]
-    trq_i = ri_[..., 0] * force[..., 1] - ri_[..., 1] * force[..., 0]
+    trq_i = jnp.sum(ri_[..., 0] * force[..., 1] - ri_[..., 1] * force[..., 0], axis=1)
     fp_j = fp - shift[:, None, :]  # force point in j's unshifted frame
     cj0 = q_cent[j]
     rj_ = fp_j - cj0[:, None, :]
-    trq_j = rj_[..., 0] * (-force[..., 1]) - rj_[..., 1] * (-force[..., 0])
-    col_trq = acc_i(jnp.sum(trq_i, axis=1)) + acc_j(jnp.sum(trq_j, axis=1))
+    trq_j = jnp.sum(
+        rj_[..., 0] * (-force[..., 1]) - rj_[..., 1] * (-force[..., 0]), axis=1
+    )
 
     # stress moments (calc_stress!, update_floe.jl:392-414):
     # s11 += rx*Fx, s12 += 0.5*(ry*Fx + rx*Fy), s22 += ry*Fy
@@ -592,14 +619,37 @@ def _accumulate_contacts(
             rvec[..., 1] * f[..., 0] + rvec[..., 0] * f[..., 1], axis=1
         )
         s22 = jnp.sum(rvec[..., 1] * f[..., 1], axis=1)
-        return jnp.stack(
-            [jnp.stack([s11, s12], -1), jnp.stack([s12, s22], -1)], axis=-2
-        )
+        return jnp.stack([s11, s12, s22], axis=-1)  # [K, 3]
 
-    sm = acc_i(stress_moments(ri_, force)) + acc_j(stress_moments(rj_, -force))
-    overarea = acc_i(jnp.sum(overlap_rec, axis=1)) + acc_j(
-        jnp.sum(overlap_rec, axis=1)
+    smv_i = stress_moments(ri_, force)
+    smv_j = stress_moments(rj_, -force)
+    ov = jnp.sum(overlap_rec, axis=1)  # [K]
+
+    # payload columns: fx, fy, trq, s11, s12, s22, overarea  (7)
+    pay_i = jnp.concatenate(
+        [fsum, trq_i[:, None], smv_i, ov[:, None]], axis=1
     )
+    pay_i = jnp.where(pair_valid[:, None], pay_i, 0.0)
+    pay_j = jnp.concatenate(
+        [-fsum, trq_j[:, None], smv_j, ov[:, None]], axis=1
+    )
+
+    if row_cap is not None:
+        acc_i = jnp.sum(pay_i.reshape(N, row_cap, -1), axis=1)  # [N, 7]
+    else:
+        seg_i = jnp.where(pair_valid, i, N).astype(jnp.int32)
+        acc_i = _onehot_sum(pay_i, seg_i, N)
+    jf = jnp.where(is_ff, j, N).astype(jnp.int32)  # only floe reactions
+    acc_j = _onehot_sum(pay_j, jf, N)
+
+    acc = acc_i + acc_j
+    col_force = acc[:, 0:2]
+    col_trq = acc[:, 2]
+    s11, s12, s22 = acc[:, 3], acc[:, 4], acc[:, 5]
+    sm = jnp.stack(
+        [jnp.stack([s11, s12], -1), jnp.stack([s12, s22], -1)], axis=-2
+    )
+    overarea = acc[:, 6]
     return col_force, col_trq, sm, overarea
 
 
@@ -723,12 +773,23 @@ def timestep_collisions(
         perturb0[ssafe],
     )
     slow_total = jnp.where(svalid, sregions.total_area, 0.0)
+    # scatter-free slow -> full-list routing (ssel == PC rows drop out)
+    s_onehot = ssel[:, None] == jnp.arange(PC, dtype=ssel.dtype)[None, :]
+
+    def scatter_slow_sum(x):
+        return jax.lax.dot_general(
+            s_onehot.astype(x.dtype), x, (((0,), (0,)), ((), ())),
+            preferred_element_type=x.dtype,
+        )
+
+    def scatter_slow_max(x):
+        return jnp.max(jnp.where(s_onehot, x[:, None], 0.0), axis=0)
 
     # total intersection area for every candidate pair (containment included)
     total_area0 = (
         contain0
         + jnp.where(fast_ok, tc.area, 0.0)
-        + jnp.zeros_like(contain0).at[ssafe].add(slow_total)
+        + scatter_slow_sum(slow_total)
     )
 
     # ------- fuse / remove marking (collisions.jl:364-368, 522-525) --------
@@ -743,8 +804,9 @@ def timestep_collisions(
     )
     # domain pairs: remove if max single-region overlap fraction too big
     smax_reg = jnp.max(jnp.where(sregions.valid, sregions.area, 0.0), axis=1)
-    max_reg0 = jnp.where(fast_ok, tc.area, 0.0).at[ssafe].max(
-        jnp.where(svalid, smax_reg, 0.0)
+    max_reg0 = jnp.maximum(
+        jnp.where(fast_ok, tc.area, 0.0),
+        scatter_slow_max(jnp.where(svalid, smax_reg, 0.0)),
     )
     # containment against a wall counts as a full-floe region
     max_reg0 = jnp.maximum(max_reg0, jnp.where(~q_is_floe[j0], contain0, 0.0))
@@ -791,7 +853,7 @@ def timestep_collisions(
     )
     f_acc = _accumulate_contacts(
         floes, N, i0, j0, pvalid0, q_is_floe[j0] & pvalid0, pairs.shift,
-        q_cent, f_force, f_fp, f_rec,
+        q_cent, f_force, f_fp, f_rec, row_cap=PC // N,
     )
     s_acc = _accumulate_contacts(
         floes, N, i1, j1, svalid, q_is_floe[j1] & svalid, shift1,
@@ -806,31 +868,27 @@ def timestep_collisions(
     ah_safe = jnp.where(ah > 0, ah, 1.0)
     stress_instant = sm / ah_safe[:, None, None]
 
-    # fuse / remove scatters - over the FULL candidate list so containment
-    # pairs (no boundary crossings) are included
-    seg_i0 = jnp.where(pvalid0, i0, N).astype(jnp.int32)
-    jf0 = jnp.where(is_ff_pair0, j0, N).astype(jnp.int32)
-
-    def acc_i0(x):
-        return jax.ops.segment_sum(x, seg_i0, num_segments=N + 1)[:N]
-
-    def acc_j0(x):
-        return jax.ops.segment_sum(x, jf0, num_segments=N + 1)[:N]
-
-    fuse_i = acc_i0(fuse_pair0.astype(jnp.int32)) > 0
-    fuse_j = acc_j0(fuse_pair0.astype(jnp.int32)) > 0
+    # fuse / remove marks - over the FULL candidate list so containment
+    # pairs (no boundary crossings) are included.  Scatter-free: the i side
+    # is row-structured; the j side is a masked [PC, N] reduction (fuse
+    # events are rare but the mark must be exact).
+    row_cap0 = PC // N
+    fuse_i = jnp.any(fuse_pair0.reshape(N, row_cap0), axis=1)
+    fw_i = jnp.max(
+        jnp.where(fuse_pair0, j0, -1).reshape(N, row_cap0), axis=1
+    )
+    jsel = (
+        (j0[:, None] == jnp.arange(N, dtype=j0.dtype)[None, :])
+        & fuse_pair0[:, None]
+    )  # [PC, N]
+    fuse_j = jnp.any(jsel, axis=0)
+    fw_j = jnp.max(jnp.where(jsel, i0[:, None], -1), axis=0)
     fuse_any = fuse_i | fuse_j
     # record one fuse partner (max pool index wins)
-    fw_i = jax.ops.segment_max(
-        jnp.where(fuse_pair0, j0, -1), seg_i0, num_segments=N + 1
-    )[:N]
-    fw_j = jax.ops.segment_max(
-        jnp.where(fuse_pair0, i0, -1), jf0, num_segments=N + 1
-    )[:N]
     fuse_with = jnp.maximum(
         jnp.where(fuse_any, jnp.maximum(fw_i, fw_j), -1), -1
     ).astype(jnp.int32)
-    remove = remove | (acc_i0(dom_remove_pair0.astype(jnp.int32)) > 0)
+    remove = remove | jnp.any(dom_remove_pair0.reshape(N, row_cap0), axis=1)
 
     new_floes = floes._replace(
         collision_force=jnp.where(act[:, None], col_force, 0.0),

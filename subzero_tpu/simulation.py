@@ -58,6 +58,11 @@ class Simulation:
     ridgeraft_settings: RidgeRaftSettings = RidgeRaftSettings()
     weld_settings: WeldSettings = WeldSettings()
     writers: Any = None
+    # saved numpy Generator state (bit_generator.state dict) applied at the
+    # start of run(); set by io.writers.restart so a resumed run continues
+    # the exact RNG stream of the original (the reference cannot do this -
+    # simulation.jl:306-308 documents restart! as approximate)
+    rng_state: Optional[dict] = None
     # capacities (static shapes)
     pair_cap: Optional[int] = None
     cell_cap: Optional[int] = None
@@ -171,39 +176,67 @@ def run_scan(sim: Simulation, n_steps: int, start_tstep: int = 0, collect=None):
     ``collect(floes, ocean)`` maps the state to small per-step outputs that
     are stacked over steps (e.g. kinematics for conservation checks).
     Returns (floes, ocean, domain, collected).
+
+    The per-step overflow flag is accumulated across the scan and surfaced
+    as a warning, exactly like ``run`` does - capacity overflow means
+    contact forces were truncated and the results are unreliable.
     """
     step = build_step(sim)
 
     def body(carry, tstep):
-        floes, ocean, domain = carry
-        floes, ocean, domain, _ = step(floes, ocean, domain, tstep)
+        floes, ocean, domain, n_over = carry
+        floes, ocean, domain, overflow = step(floes, ocean, domain, tstep)
         out = collect(floes, ocean) if collect is not None else None
-        return (floes, ocean, domain), out
+        return (floes, ocean, domain, n_over + overflow.astype(jnp.int32)), out
 
     @jax.jit
     def scan_all(floes, ocean, domain):
         ts = jnp.arange(start_tstep, start_tstep + n_steps)
-        return jax.lax.scan(body, (floes, ocean, domain), ts)
+        return jax.lax.scan(
+            body, (floes, ocean, domain, jnp.asarray(0, jnp.int32)), ts
+        )
 
-    (floes, ocean, domain), collected = scan_all(
+    (floes, ocean, domain, n_overflow), collected = scan_all(
         sim.model.floes, sim.model.ocean, sim.model.domain
     )
+    if int(n_overflow):
+        import warnings
+
+        warnings.warn(
+            f"{int(n_overflow)} steps exceeded pair/crossing capacity; "
+            "results may be inaccurate. Increase pair_cap/clip_cap."
+        )
     sim.model = sim.model.replace(floes=floes, ocean=ocean, domain=domain)
     return sim, collected
 
 
-def _host_lifecycle_passes(sim, floes, domain, tstep, rng, state):
+def _host_lifecycle_passes(sim, floes, domain, tstep, rng, state, logger=None):
     """Host-orchestrated topology changes at their process cadences
     (timestep_sim! order, simulation.jl:94-220). Returns updated floes."""
     fs = sim.floe_settings
     dt = float(sim.dt)
 
+    def _warn_overflow(overflow, which):
+        if bool(overflow):
+            state["n_overflow"] = state.get("n_overflow", 0) + 1
+            msg = (
+                f"pair/crossing capacity exceeded in {which} overlap query; "
+                "the overlap list may be incomplete"
+            )
+            if logger is not None:
+                logger.warn(msg, tstep)
+            else:
+                import warnings
+
+                warnings.warn(msg)
+
     # ridging / rafting (simulation.jl:121-135)
     rr = sim.ridgeraft_settings
     if rr.ridge_raft_on and rr.dt > 0 and tstep % rr.dt == 0 and tstep > 0:
-        i, j, area, valid = _collisions.pair_overlaps(
+        i, j, area, valid, overflow = _collisions.pair_overlaps(
             floes, domain, sim.pair_cap, sim.clip_cap, sim.bins
         )
+        _warn_overflow(overflow, "ridge/raft")
         mask = np.asarray(valid)
         overlaps = list(
             zip(
@@ -223,9 +256,10 @@ def _host_lifecycle_passes(sim, floes, domain, tstep, rng, state):
     if fr.fractures_on and fr.dt > 0 and tstep % fr.dt == 0 and tstep > 0:
         overlaps = None
         if fr.deform_on:
-            i, j, area, valid = _collisions.pair_overlaps(
+            i, j, area, valid, overflow = _collisions.pair_overlaps(
                 floes, domain, sim.pair_cap, sim.clip_cap, sim.bins
             )
+            _warn_overflow(overflow, "fracture deform")
             mask = np.asarray(valid)
             overlaps = list(
                 zip(
@@ -284,6 +318,8 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
     tstep = start_tstep
     n_overflow = 0
     rng = np.random.default_rng(sim.seed)
+    if sim.rng_state is not None:
+        rng.bit_generator.state = sim.rng_state
     state = {"max_floe_id": int(jnp.max(sim.model.floes.id))}
     has_host_ops = (
         sim.ridgeraft_settings.ridge_raft_on
@@ -314,8 +350,11 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
                 tstep,
             )
         if has_host_ops:
-            floes = _host_lifecycle_passes(sim, floes, domain, tstep, rng, state)
+            floes = _host_lifecycle_passes(
+                sim, floes, domain, tstep, rng, state, logger
+            )
         tstep += 1
+    n_overflow += state.get("n_overflow", 0)
     if n_overflow:
         import warnings
 

@@ -1,0 +1,119 @@
+"""Capacity-overflow flags must surface on every driver path.
+
+The fixed-shape design truncates candidate/contact lists at static
+capacities; silent truncation is the one failure mode that corrupts physics
+without any error.  These tests force tiny capacities and assert the flag
+fires through (a) the raw broad phase, (b) pair_overlaps (the host
+lifecycle's overlap query), and (c) run_scan's accumulated warning.
+"""
+
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from subzero_tpu.core import (
+    BoundaryKind,
+    initialize_floe_field,
+    make_atmos,
+    make_domain,
+    make_grid,
+    make_model,
+    make_ocean,
+)
+from subzero_tpu.physics.collisions import (
+    find_candidate_pairs,
+    pair_overlaps,
+    timestep_collisions,
+)
+from subzero_tpu.constants import Constants
+from subzero_tpu.settings import (
+    CollisionSettings,
+    CouplingSettings,
+    FloeSettings,
+    SubGridPointsGenerator,
+)
+from subzero_tpu.simulation import Simulation, run_scan
+
+
+def _dense_field(n=60, seed=3):
+    grid = make_grid(0.0, 4e4, 0.0, 4e4, dx=2e3, dy=2e3)
+    domain = make_domain(grid, *([BoundaryKind.PERIODIC] * 4), dtype=jnp.float64)
+    fs = FloeSettings(
+        min_floe_area=1e6,
+        subfloe_point_generator=SubGridPointsGenerator(1e9),
+    )
+    floes = initialize_floe_field(
+        n, [0.9], domain, 0.25, 0.0, fs, rng=np.random.default_rng(seed),
+        dtype=jnp.float64, shrink_frac=0.0,
+    )
+    return grid, domain, fs, floes
+
+
+def test_broad_phase_overflow_flag():
+    _, domain, _, floes = _dense_field()
+    big = find_candidate_pairs(floes, domain, 64 * floes.capacity)
+    assert not bool(big.overflow)
+    n_valid = int(jnp.sum(big.valid))
+    assert n_valid > 8  # the field actually produces candidates
+    # pair_cap so small that row_cap (pair_cap // N, floored at 8) truncates
+    tiny = find_candidate_pairs(floes, domain, 8)
+    assert bool(tiny.overflow) or int(jnp.sum(tiny.valid)) == n_valid
+
+
+def test_pair_overlaps_overflow_flag():
+    _, domain, _, floes = _dense_field()
+    i, j, area, valid, overflow = pair_overlaps(
+        floes, domain, 64 * floes.capacity
+    )
+    assert not bool(overflow)
+    assert int(jnp.sum(valid)) > 0
+    # shrink the broad-phase capacity until truncation must occur
+    i, j, area, valid, overflow = pair_overlaps(floes, domain, 8)
+    assert bool(overflow)
+
+
+def test_collisions_overflow_flag():
+    _, domain, _, floes = _dense_field()
+    res = timestep_collisions(
+        floes, domain, Constants(E=1e6), 10.0, CollisionSettings(), 8
+    )
+    assert bool(res.overflow)
+
+
+def test_run_scan_overflow_warning():
+    grid, domain, fs, floes = _dense_field()
+    ocean = make_ocean(grid, u=0.0, v=0.0, temp=0.0, dtype=jnp.float64)
+    atmos = make_atmos(grid, u=0.0, v=0.0, temp=-1.0, dtype=jnp.float64)
+    model = make_model(grid, ocean, atmos, domain, floes)
+    sim = Simulation(
+        model=model,
+        consts=Constants(E=1e6),
+        dt=10,
+        n_dt=2,
+        floe_settings=fs,
+        coupling_settings=CouplingSettings(coupling_on=False),
+        pair_cap=8,
+    )
+    with pytest.warns(UserWarning, match="capacity"):
+        run_scan(sim, 3)
+
+
+def test_run_scan_no_warning_when_capacity_ok():
+    grid, domain, fs, floes = _dense_field()
+    ocean = make_ocean(grid, u=0.0, v=0.0, temp=0.0, dtype=jnp.float64)
+    atmos = make_atmos(grid, u=0.0, v=0.0, temp=-1.0, dtype=jnp.float64)
+    model = make_model(grid, ocean, atmos, domain, floes)
+    sim = Simulation(
+        model=model,
+        consts=Constants(E=1e6),
+        dt=10,
+        n_dt=2,
+        floe_settings=fs,
+        coupling_settings=CouplingSettings(coupling_on=False),
+        pair_cap=64 * floes.capacity,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        run_scan(sim, 3)
