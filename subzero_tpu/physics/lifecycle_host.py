@@ -256,6 +256,28 @@ def conserve_momentum_transfer_mass(hf: HostFloes, i1, i2, m1, m2, dt, extra=())
         f["p_dalphadt"][idx] = 0.0
 
 
+def update_new_rotation_conserve(
+    hf: HostFloes, i1, i2, x, y,
+    init_rot_momentum, init_p_rot_momentum,
+    diff_orbital, diff_p_orbital, dt,
+):
+    """update_new_rotation_conserve! (update_floe.jl:205-233): solve the
+    pair's rotational velocities so angular momentum is conserved and the
+    shared point (x, y) is stationary (equal and opposite tangential
+    velocities, with radius-ratio weighting)."""
+    f = hf.fields
+    rad1 = np.hypot(f["centroid"][i1][0] - x, f["centroid"][i1][1] - y)
+    rad2 = np.hypot(f["centroid"][i2][0] - x, f["centroid"][i2][1] - y)
+    rr = rad1 / rad2
+    denom = f["moment"][i1] - f["moment"][i2] * rr
+    f["xi"][i1] = (diff_orbital + init_rot_momentum) / denom
+    f["xi"][i2] = -f["xi"][i1] * rr
+    f["p_dalphadt"][i1] = (diff_p_orbital + init_p_rot_momentum) / denom
+    f["p_dalphadt"][i2] = -f["p_dalphadt"][i1] * rr
+    f["p_dxidt"][i1] = (f["xi"][i1] - f["p_dalphadt"][i1]) / dt
+    f["p_dxidt"][i2] = (f["xi"][i2] - f["p_dalphadt"][i2]) / dt
+
+
 # ---------------------------------------------------------------------------
 # fracture (fractures.jl)
 # ---------------------------------------------------------------------------
@@ -632,6 +654,7 @@ def timestep_welding(
         yi_ = int(np.clip((y - grid.y0) // dy, 0, Ny - 1))
         bins.setdefault((xi_, yi_), []).append(int(i))
     prefuse = max_floe_id
+    gainers = []  # deferred id assignment (welding.jl:169-180)
     for _, bin_list in bins.items():
         for i in bin_list:
             if not f["active"][i] or f["area"][i] >= weld_settings.max_weld_area:
@@ -660,6 +683,7 @@ def timestep_welding(
                     ):
                         group.append((j, inter))
             group.sort(key=lambda t: -t[1])
+            welded_any = False
             for j, inter in group:
                 if not f["active"][j]:
                     continue
@@ -667,8 +691,13 @@ def timestep_welding(
                 if new_area > weld_settings.max_weld_area:
                     break
                 if fuse_two_floes(hf, i, j, dt, fs, prefuse, rng):
-                    max_floe_id += 1
-                    f["id"][i] = max_floe_id
+                    welded_any = True
+            if welded_any:
+                gainers.append(i)
+    # one new id per gaining floe, assigned after all welds complete
+    for i in sorted(gainers):
+        max_floe_id += 1
+        f["id"][i] = max_floe_id
     return hf.to_state(), max_floe_id
 
 
@@ -773,11 +802,19 @@ def timestep_ridging_rafting(
     vals = np.array(domain.vals, float)
     broken = np.zeros(len(f["active"]), bool)
     max_id = max_floe_id
-    # group overlaps by i
+    # Group overlaps by the smaller floe index and process floes in index
+    # order with partners ordered (floes ascending, then walls N,S,E,W, then
+    # topography) - the reference's per-floe interaction-list walk order
+    # (ridge_raft.jl:690-760, i < j gating), which decides which pair ridges
+    # first when one floe touches several others.
     by_floe = {}
     for (i, j, ov) in overlaps:
-        by_floe.setdefault(int(i), []).append((int(j), float(ov)))
-    for i, inters in by_floe.items():
+        i, j = int(i), int(j)
+        if j >= 0 and j < i:
+            i, j = j, i
+        by_floe.setdefault(i, []).append((j, float(ov)))
+    for i in sorted(by_floe):
+        inters = sorted(by_floe[i], key=lambda t: (t[0] < 0, abs(t[0])))
         if not f["active"][i] or broken[i]:
             continue
         ridge = (
