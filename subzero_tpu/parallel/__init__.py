@@ -5,4 +5,6 @@ from .decomp import (  # noqa: F401
     distribute,
     gather,
     make_decomp,
+    measure_decomp_scaling,
+    run_decomp,
 )

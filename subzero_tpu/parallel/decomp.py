@@ -47,7 +47,10 @@ from ..physics import coupling as _coupling
 from ..physics import simplification as _simplification
 from ..physics import update_floe as _update_floe
 
-__all__ = ["Decomp", "make_decomp", "distribute", "gather", "build_decomp_step"]
+__all__ = [
+    "Decomp", "make_decomp", "distribute", "gather", "build_decomp_step",
+    "run_decomp", "measure_decomp_scaling",
+]
 
 # fields a halo (collision ghost) copy needs: everything the pair kernel and
 # force recipe read from either side of a contact
@@ -376,3 +379,176 @@ def build_decomp_step(sim, dec: Decomp):
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def run_decomp(sim, dec: Decomp, start_tstep: int = 0, callback=None):
+    """run! over a domain decomposition (the distributed analog of
+    simulation.run, mirroring timestep_sim!'s process order,
+    /root/reference/src/simulation_components/simulation.jl:94-220).
+
+    Per step the jitted shard_map program advances the distributed pool;
+    at host-process cadences (ridge/raft, fracture, welding, smoothing,
+    fusing) the pool is gathered to the host, the lifecycle passes run on
+    the global pool, and the result is redistributed (new pieces land on
+    their owning slab).  Writers fire on gathered state at their intervals.
+    Overflow (halo/migration/pair capacity) is reported exactly like the
+    single-device driver.
+
+    Returns ``sim`` with its model holding the final gathered pool.
+    """
+    import copy
+
+    from ..io.logger import SimulationLogger
+    from ..simulation import _host_lifecycle_passes
+
+    logger = SimulationLogger(sim.name)
+    step = build_decomp_step(sim, dec)
+    domain = sim.model.domain
+    floes_d = distribute(sim.model.floes, domain, dec)
+    ocean = sim.model.ocean
+    rng = np.random.default_rng(sim.seed)
+    if sim.rng_state is not None:
+        rng.bit_generator.state = sim.rng_state
+    state = {"max_floe_id": int(jnp.max(sim.model.floes.id))}
+    # the gathered pool has capacity D * local_cap: scale the host overlap
+    # query's pair budget to keep the same per-floe row capacity
+    host_sim = copy.copy(sim)
+    row_cap = max(sim.pair_cap // max(sim.model.floes.capacity, 1), 8)
+    host_sim.pair_cap = row_cap * dec.n_dev * dec.local_cap
+    host_sim.bins = None  # gathered pool is unsorted; dense broad phase
+
+    def host_ops_due(tstep):
+        if tstep <= 0:
+            return False
+        rr = sim.ridgeraft_settings
+        fr = sim.fracture_settings
+        ws = sim.weld_settings
+        sp = sim.simp_settings
+        due = (
+            (rr.ridge_raft_on and rr.dt > 0 and tstep % rr.dt == 0)
+            or (fr.fractures_on and fr.dt > 0 and tstep % fr.dt == 0)
+            or (ws.weld_on and any(tstep % wdt == 0 for wdt in ws.dts))
+            or (
+                sp.smooth_vertices_on
+                and sp.dt_smooth > 0
+                and tstep % sp.dt_smooth == 0
+            )
+        )
+        return due
+
+    def writers_due(tstep):
+        w = sim.writers
+        if w is None:
+            return False
+        return (
+            (tstep == start_tstep and w.initial_state is not None)
+            or (w.floes is not None and tstep % w.floes.interval == 0)
+            or (w.grid is not None and tstep % w.grid.interval == 0)
+            or (w.checkpoint is not None and tstep % w.checkpoint.interval == 0)
+        )
+
+    has_collision_fusing = sim.collision_settings.collisions_on
+    n_overflow = 0
+    tstep = start_tstep
+    while tstep <= start_tstep + sim.n_dt:
+        if sim.verbose and tstep % 50 == 0:
+            print(f"{tstep} timesteps")
+        if callback is not None or writers_due(tstep):
+            g = gather(floes_d)
+            if callback is not None:
+                callback(tstep, g, ocean, domain)
+            if writers_due(tstep):
+                sim.model = sim.model.replace(
+                    floes=g, ocean=ocean, domain=domain
+                )
+                sim.writers.write_data(
+                    sim, tstep, g, ocean, domain,
+                    rng_state=rng.bit_generator.state,
+                )
+        floes_d, ocean, domain, overflow = step(
+            floes_d, ocean, domain, jnp.asarray(tstep)
+        )
+        if bool(overflow):
+            n_overflow += 1
+            logger.warn(
+                "halo/migration/pair capacity exceeded; results may be "
+                "incomplete this step",
+                tstep,
+            )
+        need_host = host_ops_due(tstep) or (
+            has_collision_fusing and bool(jnp.any(floes_d.fuse_with >= 0))
+        )
+        if need_host:
+            g = gather(floes_d)
+            host_sim.pair_cap = row_cap * g.capacity
+            g = _host_lifecycle_passes(
+                host_sim, g, domain, tstep, rng, state, logger
+            )
+            try:
+                floes_d = distribute(g, domain, dec)
+            except ValueError:
+                # fracture/welding grew a slab past local_cap: rebuild the
+                # decomposition with more headroom (rare recompile; the
+                # fixed-shape analog of the reference's growable arrays)
+                dec = Decomp(
+                    mesh=dec.mesh, axis=dec.axis, n_dev=dec.n_dev,
+                    local_cap=2 * dec.local_cap, halo_cap=2 * dec.halo_cap,
+                    mig_cap=2 * dec.mig_cap, margin=dec.margin,
+                )
+                logger.warn(
+                    f"slab overflow: growing local_cap to {dec.local_cap} "
+                    "and recompiling the decomposed step",
+                    tstep,
+                )
+                step = build_decomp_step(sim, dec)
+                floes_d = distribute(g, domain, dec)
+        tstep += 1
+    n_overflow += state.get("n_overflow", 0)
+    if n_overflow:
+        import warnings
+
+        warnings.warn(
+            f"{n_overflow} steps exceeded a decomposition capacity; results "
+            "may be inaccurate. Increase halo/mig/pair caps."
+        )
+    if sim.writers is not None:
+        sim.writers.close()
+    logger.close()
+    sim.model = sim.model.replace(
+        floes=gather(floes_d), ocean=ocean, domain=domain
+    )
+    return sim
+
+
+def measure_decomp_scaling(sim_builder, n_steps: int = 20, axis: str = "x"):
+    """Steps/s of the decomposed step on 1 device vs all devices.
+
+    ``sim_builder()`` must return a fresh Simulation (the decomposition
+    mutates capacities).  Returns {1: sps, D: sps, "efficiency": e} where
+    efficiency = sps_D / sps_1 (same global problem, strong scaling - ideal
+    is 1.0 with perfect overlap; the single-device run does the same work
+    with no communication).
+    """
+    import time
+
+    res = {}
+    for ndev in (1, len(jax.devices())):
+        sim = sim_builder()
+        dec = make_decomp(sim.model.floes, sim.model.domain, n_devices=ndev)
+        step = build_decomp_step(sim, dec)
+        floes_d = distribute(sim.model.floes, sim.model.domain, dec)
+        ocean = sim.model.ocean
+        domain = sim.model.domain
+        out = step(floes_d, ocean, domain, jnp.asarray(0))
+        jax.block_until_ready(out[0].centroid)
+        floes_d, ocean, domain = out[0], out[1], out[2]
+        t0 = time.perf_counter()
+        for k in range(1, n_steps + 1):
+            floes_d, ocean, domain, _ = step(
+                floes_d, ocean, domain, jnp.asarray(k)
+            )
+        jax.block_until_ready(floes_d.centroid)
+        res[ndev] = n_steps / (time.perf_counter() - t0)
+    ndev = len(jax.devices())
+    res["efficiency"] = res[ndev] / res[1]
+    return res

@@ -426,31 +426,104 @@ def pair_overlaps(
     return i0, j_enc, area, valid, overflow
 
 
-class _QPool(NamedTuple):
-    """Arrays over the Q pool: [0, N) floes, [N, N+4) walls, [N+4, ...) topo."""
+class _PairSides(NamedTuple):
+    """Per-pair gathered quantities for one contact list (all [K] or [K,2]).
 
-    q_n: jnp.ndarray
-    q_u: jnp.ndarray
-    q_v: jnp.ndarray
-    q_xi: jnp.ndarray
-    q_cent: jnp.ndarray
-    q_height: jnp.ndarray
-    q_area: jnp.ndarray
-    q_is_floe: jnp.ndarray
-    q_wall_id: jnp.ndarray
+    Built by _gather_sides: the i side of the broad-phase list is
+    row-structured so its values are broadcasts (no gathers); the j side is
+    ONE packed-table gather.  Dozens of small independent gathers compiled
+    to latency-bound TPU kernels (~0.8 ms at K~4k before this layout)."""
+
+    area_i: jnp.ndarray
+    h_i: jnp.ndarray
+    nv_i: jnp.ndarray
+    cent_i: jnp.ndarray   # [K, 2]
+    u_i: jnp.ndarray
+    v_i: jnp.ndarray
+    xi_i: jnp.ndarray
+    rmax_i: jnp.ndarray
+    n_j: jnp.ndarray
+    u_j: jnp.ndarray
+    v_j: jnp.ndarray
+    xi_j: jnp.ndarray
+    cent_j: jnp.ndarray   # [K, 2]
+    h_j: jnp.ndarray
+    area_j: jnp.ndarray
+    rmax_j: jnp.ndarray
+    is_floe_j: jnp.ndarray
+    wall_id_j: jnp.ndarray
+
+
+def _q_table(floes: FloeState, domain: Domain, q_n, q_cent, dtype):
+    """Pack the per-Q-slot scalars the force recipe needs into one
+    [NQ, 9] table so the j side of a contact list is a single gather."""
+    N = floes.capacity
+    T = domain.topography.count
+    zeros_t = jnp.zeros((T,), dtype)
+    q_u = jnp.concatenate([floes.u, domain.velocities[:, 0].astype(dtype), zeros_t])
+    q_v = jnp.concatenate([floes.v, domain.velocities[:, 1].astype(dtype), zeros_t])
+    q_xi = jnp.concatenate([floes.xi, jnp.zeros((4,), dtype), zeros_t])
+    q_height = jnp.concatenate([floes.height, jnp.ones((4 + T,), dtype)])
+    q_area = jnp.concatenate([floes.area, jnp.ones((4 + T,), dtype)])
+    q_rmax = jnp.concatenate([floes.rmax, jnp.ones((4 + T,), dtype)])
+    return jnp.stack(
+        [
+            q_n.astype(dtype), q_u, q_v, q_xi,
+            q_cent[:, 0], q_cent[:, 1], q_height, q_area, q_rmax,
+        ],
+        axis=1,
+    )  # [NQ, 9]
+
+
+def _gather_sides(
+    floes: FloeState,
+    q_table: jnp.ndarray,
+    i: jnp.ndarray,
+    j: jnp.ndarray,
+    row_cap: int | None = None,
+) -> _PairSides:
+    N = floes.capacity
+
+    if row_cap is not None:
+        def bi(x):
+            return jnp.broadcast_to(
+                x[:, None], (N, row_cap) + x.shape[1:]
+            ).reshape((N * row_cap,) + x.shape[1:])
+    else:
+        def bi(x):
+            return x[i]
+
+    g = q_table[j]  # [K, 9] - the only j-side gather
+    return _PairSides(
+        area_i=bi(floes.area),
+        h_i=bi(floes.height),
+        nv_i=bi(floes.nverts),
+        cent_i=bi(floes.centroid),
+        u_i=bi(floes.u),
+        v_i=bi(floes.v),
+        xi_i=bi(floes.xi),
+        rmax_i=bi(floes.rmax),
+        n_j=g[:, 0],
+        u_j=g[:, 1],
+        v_j=g[:, 2],
+        xi_j=g[:, 3],
+        cent_j=g[:, 4:6],
+        h_j=g[:, 6],
+        area_j=g[:, 7],
+        rmax_j=g[:, 8],
+        is_floe_j=j < N,
+        wall_id_j=j - N,
+    )
 
 
 def _region_forces(
-    floes: FloeState,
     consts: Constants,
     dt: float,
     vals: jnp.ndarray,
-    i: jnp.ndarray,          # [K] P-side floe index
-    j: jnp.ndarray,          # [K] Q-pool index
+    s: _PairSides,
     shift: jnp.ndarray,      # [K, 2] periodic image shift applied to Q
     regions: ClipRegions,    # fields [K, R]
     pair_on: jnp.ndarray,    # [K] pair eligible for contact force
-    q: _QPool,
 ):
     """Hopkins elastic + Coulomb friction forces for one contact list.
 
@@ -462,21 +535,25 @@ def _region_forces(
     dtype = regions.area.dtype
 
     # ------- force factor (collisions.jl:371-379, 528) ---------------------
-    area_i = floes.area[i]
-    hi = floes.height[i]
-    ri = jnp.sqrt(area_i)
-    hj = q.q_height[j]
-    rj = jnp.sqrt(jnp.where(q.q_is_floe[j], q.q_area[j], 1.0))
-    ff_big = consts.E * jnp.minimum(hi, hj) / jnp.minimum(ri, rj)
-    ff_std = consts.E * (hi * hj) / (hi * rj + hj * ri)
+    # empty pool slots have h = r = 0; keep the 0/0s out (a NaN here used to
+    # be dropped by scatter index masking, but one-hot contractions multiply
+    # by zero instead of dropping, and 0 * NaN = NaN poisons whole columns)
+    hi = s.h_i
+    ri = jnp.sqrt(s.area_i)
+    hj = s.h_j
+    rj = jnp.sqrt(jnp.where(s.is_floe_j, s.area_j, 1.0))
+    den_big = jnp.minimum(ri, rj)
+    ff_big = consts.E * jnp.minimum(hi, hj) / jnp.where(den_big > 0, den_big, 1.0)
+    den_std = hi * rj + hj * ri
+    ff_std = consts.E * (hi * hj) / jnp.where(den_std > 0, den_std, 1.0)
     ff_floe = jnp.where((ri > 1e5) | (rj > 1e5), ff_big, ff_std)
-    ff_dom = consts.E * hi / ri
-    force_factor = jnp.where(q.q_is_floe[j], ff_floe, ff_dom)
+    ff_dom = consts.E * hi / jnp.where(ri > 0, ri, 1.0)
+    force_factor = jnp.where(s.is_floe_j, ff_floe, ff_dom)
 
     # ------- per-region elastic normal forces ------------------------------
     # region min-area filter (calc_elastic_forces, collisions.jl:158-169)
     min_area = (
-        jnp.minimum(floes.nverts[i], q.q_n[j]).astype(dtype) * 100.0 / 1.75
+        jnp.minimum(s.nv_i.astype(dtype), s.n_j) * 100.0 / 1.75
     )
     reg_ok = regions.valid & (regions.area >= min_area[:, None]) & pair_on[:, None]
 
@@ -510,8 +587,8 @@ def _region_forces(
 
     # ------- wall normal-direction correction (boundaries.jl:37-148) -------
     fp = regions.centroid  # [K, R, 2] force application points
-    is_wall = (q.q_wall_id[j] >= 0) & (q.q_wall_id[j] < 4)
-    wid = jnp.clip(q.q_wall_id[j], 0, 3)
+    is_wall = (s.wall_id_j >= 0) & (s.wall_id_j < 4)
+    wid = jnp.clip(s.wall_id_j, 0, 3)
     wall_val = vals[wid]
     # N: fp.y >= val -> zero x force; S: fp.y <= val -> zero x
     # E: fp.x >= val -> zero y;       W: fp.x <= val -> zero y
@@ -530,12 +607,12 @@ def _region_forces(
     # ------- friction (calc_friction_forces, collisions.jl:243-283) --------
     G = consts.E / (2.0 * (1.0 + consts.nu))
     nnorm = jnp.linalg.norm(normal_force, axis=-1)
-    ci = floes.centroid[i]
-    ui = floes.u[i][:, None] + floes.xi[i][:, None] * -(fp[..., 1] - ci[:, None, 1])
-    vi_ = floes.v[i][:, None] + floes.xi[i][:, None] * (fp[..., 0] - ci[:, None, 0])
-    cjs = q.q_cent[j] + shift  # shifted centroid of Q
-    ujp = q.q_u[j][:, None] + q.q_xi[j][:, None] * -(fp[..., 1] - cjs[:, None, 1])
-    vjp = q.q_v[j][:, None] + q.q_xi[j][:, None] * (fp[..., 0] - cjs[:, None, 0])
+    ci = s.cent_i
+    ui = s.u_i[:, None] + s.xi_i[:, None] * -(fp[..., 1] - ci[:, None, 1])
+    vi_ = s.v_i[:, None] + s.xi_i[:, None] * (fp[..., 0] - ci[:, None, 0])
+    cjs = s.cent_j + shift  # shifted centroid of Q
+    ujp = s.u_j[:, None] + s.xi_j[:, None] * -(fp[..., 1] - cjs[:, None, 1])
+    vjp = s.v_j[:, None] + s.xi_j[:, None] * (fp[..., 0] - cjs[:, None, 0])
     udiff = ui - ujp
     vdiff = vi_ - vjp
     vnorm = jnp.sqrt(udiff**2 + vdiff**2)
@@ -573,14 +650,13 @@ def _onehot_sum(payload: jnp.ndarray, idx: jnp.ndarray, N: int) -> jnp.ndarray:
 
 
 def _accumulate_contacts(
-    floes: FloeState,
     N: int,
     i: jnp.ndarray,          # [K]
     j: jnp.ndarray,          # [K]
+    s: _PairSides,
     pair_valid: jnp.ndarray,  # [K]
     is_ff: jnp.ndarray,      # [K] reaction lands on floe j
     shift: jnp.ndarray,      # [K, 2]
-    q_cent: jnp.ndarray,
     force: jnp.ndarray,      # [K, R, 2]
     fp: jnp.ndarray,         # [K, R, 2]
     overlap_rec: jnp.ndarray,  # [K, R]
@@ -601,11 +677,11 @@ def _accumulate_contacts(
     fsum = jnp.sum(force, axis=1)  # [K, 2]
 
     # torques about each side's centroid (calc_torque!, collisions.jl:673-686)
-    ci = floes.centroid[i]
+    ci = s.cent_i
     ri_ = fp - ci[:, None, :]
     trq_i = jnp.sum(ri_[..., 0] * force[..., 1] - ri_[..., 1] * force[..., 0], axis=1)
     fp_j = fp - shift[:, None, :]  # force point in j's unshifted frame
-    cj0 = q_cent[j]
+    cj0 = s.cent_j
     rj_ = fp_j - cj0[:, None, :]
     trq_j = jnp.sum(
         rj_[..., 0] * (-force[..., 1]) - rj_[..., 1] * (-force[..., 0]), axis=1
@@ -630,9 +706,12 @@ def _accumulate_contacts(
         [fsum, trq_i[:, None], smv_i, ov[:, None]], axis=1
     )
     pay_i = jnp.where(pair_valid[:, None], pay_i, 0.0)
+    # mask BEFORE the contraction: a dropped row must contribute exact zeros,
+    # not 0 * (possibly non-finite payload)
     pay_j = jnp.concatenate(
         [-fsum, trq_j[:, None], smv_j, ov[:, None]], axis=1
     )
+    pay_j = jnp.where(is_ff[:, None], pay_j, 0.0)
 
     if row_cap is not None:
         acc_i = jnp.sum(pay_i.reshape(N, row_cap, -1), axis=1)  # [N, 7]
@@ -708,22 +787,11 @@ def timestep_collisions(
     q_n = jnp.concatenate(
         [floes.nverts, jnp.stack(wall_ns), domain.topography.nverts], axis=0
     )
-    zeros4 = jnp.zeros((4,), dtype)
-    q_u = jnp.concatenate(
-        [floes.u, domain.velocities[:, 0].astype(dtype), jnp.zeros((T,), dtype)]
-    )
-    q_v = jnp.concatenate(
-        [floes.v, domain.velocities[:, 1].astype(dtype), jnp.zeros((T,), dtype)]
-    )
-    q_xi = jnp.concatenate([floes.xi, zeros4, jnp.zeros((T,), dtype)])
     wall_cent = jnp.zeros((4, 2), dtype)  # unused (xi = 0 for walls)
     q_cent = jnp.concatenate(
         [floes.centroid, wall_cent, domain.topography.centroid.astype(dtype)], axis=0
     )
-    q_height = jnp.concatenate([floes.height, jnp.ones((4 + T,), dtype)])
-    q_area = jnp.concatenate([floes.area, jnp.ones((4 + T,), dtype)])
-    q_is_floe = jnp.arange(N + 4 + T) < N
-    q_wall_id = jnp.arange(N + 4 + T) - N  # 0..3 for walls, else out of range
+    q_table = _q_table(floes, domain, q_n, q_cent, dtype)
 
     # ---------------- fused narrow phase (fast path) ------------------------
     # One pair-minor elementwise pass over ALL candidate pairs computes the
@@ -734,19 +802,38 @@ def timestep_collisions(
     i0 = pairs.qi
     j0 = pairs.qj
     pvalid0 = pairs.valid
+    row_cap0 = PC // N
+    sides0 = _gather_sides(floes, q_table, i0, j0, row_cap=row_cap0)
 
     # deterministic degeneracy-breaking perturbation, scaled to the pair
     eps_rel = 1e-9 if dtype == jnp.float64 else 2e-6
-    scale0 = floes.rmax[i0] + jnp.where(
-        q_is_floe[j0], floes.rmax[jnp.minimum(j0, N - 1)], floes.rmax[i0]
+    scale0 = sides0.rmax_i + jnp.where(
+        sides0.is_floe_j, sides0.rmax_j, sides0.rmax_i
     )
     perturb0 = eps_rel * scale0
 
+    # i-side rings are row-structured broadcasts; the j side is one one-hot
+    # MXU contraction (a [PC, V, 2] gather compiles to a latency-bound
+    # kernel chain on TPU)
+    pv0 = jnp.broadcast_to(
+        floes.verts[:, None], (N, row_cap0, V, 2)
+    ).reshape(PC, V, 2)
+    pn0 = jnp.broadcast_to(floes.nverts[:, None], (N, row_cap0)).reshape(PC)
+    NQ = q_verts.shape[0]
+    j_onehot = (
+        j0[:, None] == jnp.arange(NQ, dtype=j0.dtype)[None, :]
+    ).astype(dtype)
+    qv0 = jax.lax.dot_general(
+        j_onehot, q_verts.reshape(NQ, V * 2), (((1,), (0,)), ((), ())),
+        preferred_element_type=dtype,
+    ).reshape(PC, V, 2)
+    qn0 = sides0.n_j.astype(jnp.int32)
+
     tc = two_cross_dispatch(
-        floes.verts[i0],
-        floes.nverts[i0],
-        q_verts[j0] + pairs.shift[:, None, :],
-        q_n[j0],
+        pv0,
+        pn0,
+        qv0 + pairs.shift[:, None, :],
+        qn0,
         perturb0,
     )
     cnt0 = jnp.where(pvalid0, tc.cnt, 0)
@@ -793,10 +880,10 @@ def timestep_collisions(
     )
 
     # ------- fuse / remove marking (collisions.jl:364-368, 522-525) --------
-    area_i0 = floes.area[i0]
-    area_j0 = jnp.where(q_is_floe[j0], q_area[j0], jnp.inf)
+    area_i0 = sides0.area_i
+    area_j0 = jnp.where(sides0.is_floe_j, sides0.area_j, jnp.inf)
     overlap_frac0 = jnp.maximum(total_area0 / area_i0, total_area0 / area_j0)
-    is_ff_pair0 = q_is_floe[j0] & pvalid0
+    is_ff_pair0 = sides0.is_floe_j & pvalid0
     fuse_pair0 = (
         is_ff_pair0
         & (overlap_frac0 > collision_settings.floe_floe_max_overlap)
@@ -809,19 +896,16 @@ def timestep_collisions(
         scatter_slow_max(jnp.where(svalid, smax_reg, 0.0)),
     )
     # containment against a wall counts as a full-floe region
-    max_reg0 = jnp.maximum(max_reg0, jnp.where(~q_is_floe[j0], contain0, 0.0))
+    max_reg0 = jnp.maximum(
+        max_reg0, jnp.where(~sides0.is_floe_j, contain0, 0.0)
+    )
     dom_remove_pair0 = (
         pvalid0
-        & ~q_is_floe[j0]
+        & ~sides0.is_floe_j
         & (max_reg0 / area_i0 > collision_settings.floe_domain_max_overlap)
     )
 
     # ---------------- forces on both contact lists -------------------------
-    qpool = _QPool(
-        q_n=q_n, q_u=q_u, q_v=q_v, q_xi=q_xi, q_cent=q_cent,
-        q_height=q_height, q_area=q_area, q_is_floe=q_is_floe,
-        q_wall_id=q_wall_id,
-    )
     R1 = 1
     fast_regions = ClipRegions(
         total_area=tc.area,
@@ -844,20 +928,20 @@ def timestep_collisions(
         & ~dom_remove_pair0[ssafe]
         & (slow_total > 0)
     )
+    sides1 = _gather_sides(floes, q_table, i1, j1)
     f_force, f_fp, f_rec = _region_forces(
-        floes, consts, dt, vals, i0, j0, pairs.shift, fast_regions,
-        pair_on0, qpool,
+        consts, dt, vals, sides0, pairs.shift, fast_regions, pair_on0,
     )
     s_force, s_fp, s_rec = _region_forces(
-        floes, consts, dt, vals, i1, j1, shift1, sregions, pair_on1, qpool,
+        consts, dt, vals, sides1, shift1, sregions, pair_on1,
     )
     f_acc = _accumulate_contacts(
-        floes, N, i0, j0, pvalid0, q_is_floe[j0] & pvalid0, pairs.shift,
-        q_cent, f_force, f_fp, f_rec, row_cap=PC // N,
+        N, i0, j0, sides0, pvalid0, is_ff_pair0, pairs.shift,
+        f_force, f_fp, f_rec, row_cap=row_cap0,
     )
     s_acc = _accumulate_contacts(
-        floes, N, i1, j1, svalid, q_is_floe[j1] & svalid, shift1,
-        q_cent, s_force, s_fp, s_rec,
+        N, i1, j1, sides1, svalid, sides1.is_floe_j & svalid, shift1,
+        s_force, s_fp, s_rec,
     )
     col_force = f_acc[0] + s_acc[0]
     col_trq = f_acc[1] + s_acc[1]
@@ -872,7 +956,6 @@ def timestep_collisions(
     # pairs (no boundary crossings) are included.  Scatter-free: the i side
     # is row-structured; the j side is a masked [PC, N] reduction (fuse
     # events are rare but the mark must be exact).
-    row_cap0 = PC // N
     fuse_i = jnp.any(fuse_pair0.reshape(N, row_cap0), axis=1)
     fw_i = jnp.max(
         jnp.where(fuse_pair0, j0, -1).reshape(N, row_cap0), axis=1

@@ -225,25 +225,35 @@ def calc_two_way_coupling(
     NCx, NCy = grid.Nx + 1, grid.Ny + 1
     C = NCx * NCy
 
-    # per-(floe, cell) sums of -tau_ocn and point counts
-    key = jnp.where(
-        one_way.pt_mask,
-        jnp.arange(N)[:, None] * C + one_way.pt_cell,
-        N * C,
-    ).reshape(-1)
-    seg = lambda x: jax.ops.segment_sum(
-        x.reshape(-1), key, num_segments=N * C + 1
-    )[: N * C]
-    fc_tx = seg(jnp.where(one_way.pt_mask, -one_way.pt_tau_x_ocn, 0.0))
-    fc_ty = seg(jnp.where(one_way.pt_mask, -one_way.pt_tau_y_ocn, 0.0))
-    fc_np = seg(one_way.pt_mask.astype(one_way.pt_x.dtype))
-
     # candidate covered cells per floe: a cell_cap x cell_cap window of
     # line-centered cells around the floe centroid
     cx0 = jnp.floor((floes.centroid[:, 0] - grid.x0) / grid.dx + 0.5).astype(jnp.int32)
     cy0 = jnp.floor((floes.centroid[:, 1] - grid.y0) / grid.dy + 0.5).astype(jnp.int32)
     half = cell_cap // 2
     offs = jnp.arange(cell_cap) - half
+
+    # per-(floe, window-cell) sums of -tau_ocn and point counts, accumulated
+    # directly in window coordinates: O(N * cell_cap^2) state instead of the
+    # O(N * grid) per-(floe,cell) buffers (CellStresses, oceans.jl:4-8) -
+    # this keeps each device's two-way work independent of the global grid
+    # in the decomposed path.
+    pxi = jnp.floor((one_way.pt_x - grid.x0) / grid.dx + 0.5).astype(jnp.int32)
+    pyi = jnp.floor((one_way.pt_y - grid.y0) / grid.dy + 0.5).astype(jnp.int32)
+    kx = pxi - (cx0[:, None] - half)
+    ky = pyi - (cy0[:, None] - half)
+    in_win = (kx >= 0) & (kx < cell_cap) & (ky >= 0) & (ky < cell_cap)
+    wmask = one_way.pt_mask & in_win
+    CW = cell_cap * cell_cap
+    wkey = jnp.where(
+        wmask, jnp.arange(N)[:, None] * CW + kx * cell_cap + ky, N * CW
+    ).reshape(-1)
+    segw = lambda x: jax.ops.segment_sum(
+        x.reshape(-1), wkey, num_segments=N * CW + 1
+    )[: N * CW].reshape(N, cell_cap, cell_cap)
+    tx_pair = segw(jnp.where(wmask, -one_way.pt_tau_x_ocn, 0.0))
+    ty_pair = segw(jnp.where(wmask, -one_way.pt_tau_y_ocn, 0.0))
+    np_pair = segw(wmask.astype(one_way.pt_x.dtype))
+    np_pair_safe = jnp.where(np_pair > 0, np_pair, 1.0)
     wx = cx0[:, None] + offs[None, :]      # [N, cap]
     wy = cy0[:, None] + offs[None, :]
     # shift (periodic) or clamp-invalid (non-periodic)
@@ -302,15 +312,10 @@ def calc_two_way_coupling(
         floes.verts, floes.nverts, xmin, xmax, ymin, ymax, pair_ok
     )  # [N, cap, cap]
 
-    # gather per-(floe, shifted cell) stress sums
+    # shifted cell indices for the final per-cell reduction
     ixs = jnp.broadcast_to(wxs[:, :, None], (N, cell_cap, cell_cap))
     iys = jnp.broadcast_to(wys[:, None, :], (N, cell_cap, cell_cap))
     cell_flat = ixs * NCy + iys
-    pair_key = jnp.arange(N)[:, None, None] * C + cell_flat
-    tx_pair = fc_tx[pair_key]
-    ty_pair = fc_ty[pair_key]
-    np_pair = fc_np[pair_key]
-    np_pair_safe = jnp.where(np_pair > 0, np_pair, 1.0)
 
     w_area = jnp.where(pair_ok & (area_in_cell > 0), area_in_cell, 0.0)
     tau_x_cell = jax.ops.segment_sum(

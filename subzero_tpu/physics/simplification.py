@@ -45,11 +45,16 @@ def remove_and_dissolve(
         cy = jnp.mod(cy, grid.Ny)
     in_grid = (cx >= 0) & (cx < grid.Nx) & (cy >= 0) & (cy < grid.Ny)
     NCy = grid.Ny + 1
-    cell = jnp.where(dissolve & in_grid, cx * NCy + cy, grid.Nx * NCy + grid.Ny)
-    added = jax.ops.segment_sum(
-        jnp.where(dissolve & in_grid, floes.mass, 0.0),
-        cell,
-        num_segments=(grid.Nx + 1) * NCy,
+    ncells = (grid.Nx + 1) * NCy
+    cell = jnp.where(dissolve & in_grid, cx * NCy + cy, ncells)
+    # one-hot contraction instead of a scatter (TPU scatters serialize)
+    onehot = (
+        cell[:, None] == jnp.arange(ncells, dtype=cell.dtype)[None, :]
+    ).astype(floes.mass.dtype)
+    mass = jnp.where(dissolve & in_grid, floes.mass, 0.0)
+    added = jax.lax.dot_general(
+        onehot, mass, (((0,), (0,)), ((), ())),
+        preferred_element_type=floes.mass.dtype,
     ).reshape(grid.Nx + 1, NCy)
     ocean = ocean._replace(dissolved=ocean.dissolved + added.astype(ocean.dissolved.dtype))
 

@@ -209,3 +209,109 @@ def test_decomp_migration():
     assert int(jnp.sum(fg.active)) == n0
     ids1 = sorted(np.asarray(fg.id)[np.asarray(fg.active)].tolist())
     assert ids0 == ids1
+
+
+# ---------------------------------------------------------------------------
+# Distributed end-to-end driver (run_decomp): device steps + host lifecycle
+# at cadence (gather -> host passes -> redistribute) + writers
+# ---------------------------------------------------------------------------
+
+from subzero_tpu.parallel import run_decomp
+
+
+def test_run_decomp_with_fracture(tmp_path):
+    """run_decomp with fracture ON: host lifecycle at cadence over the
+    decomposition, mass bookkeeping intact, writers fire (the distributed
+    analog of timestep_sim!'s process order, simulation.jl:94-220)."""
+    from subzero_tpu.io import (
+        CheckpointOutputWriter,
+        FloeOutputWriter,
+        InitialStateOutputWriter,
+        OutputWriters,
+    )
+    from subzero_tpu.settings import FractureSettings, HiblerYieldCurve
+
+    sim = make_wide_sim(
+        coupling_settings=CouplingSettings(two_way_coupling_on=False),
+        fracture_settings=FractureSettings(
+            fractures_on=True,
+            criteria=HiblerYieldCurve(pstar=1e-10, c=20.0),
+            dt=4,
+            npieces=2,
+        ),
+    )
+    sim.pair_cap = 32 * sim.model.floes.capacity
+    sim.n_dt = 12
+    sim.writers = OutputWriters(
+        initial_state=InitialStateOutputWriter(dir=str(tmp_path), overwrite=True),
+        floes=FloeOutputWriter(6, dir=str(tmp_path), overwrite=True),
+        checkpoint=CheckpointOutputWriter(6, dir=str(tmp_path), overwrite=True),
+    )
+    m = sim.model
+    mass0 = float(np.asarray(m.floes.mass)[np.asarray(m.floes.active)].sum())
+    n0 = int(m.floes.count())
+    dec = make_decomp(m.floes, m.domain, n_devices=4)
+    sim = run_decomp(sim, dec)
+    out = sim.model.floes
+    act = np.asarray(out.active)
+    n1 = int(act.sum())
+    assert n1 > n0  # fracture actually created pieces
+    # mass bookkeeping through fracture + redistribution: no creation, and
+    # losses only from sub-min-area fracture pieces being dropped (the
+    # reference's poly_to_floes! filter does the same)
+    mass1 = float(np.asarray(out.mass)[act].sum())
+    assert mass1 <= mass0 * (1 + 1e-9)
+    np.testing.assert_allclose(mass1, mass0, rtol=1e-3)
+    # writers produced files
+    import h5py
+    import os
+
+    with h5py.File(os.path.join(str(tmp_path), "floes.h5"), "r") as f:
+        assert sorted(int(k) for k in f.keys()) == [0, 6, 12]
+    with h5py.File(os.path.join(str(tmp_path), "checkpoint.h5"), "r") as f:
+        assert "floes/12" in f and "rng/12" in f
+
+
+def test_run_decomp_matches_run_single():
+    """With lifecycle off, run_decomp over 4 slabs tracks the single-device
+    run() trajectory (allclose; pair enumeration differs)."""
+    from subzero_tpu.simulation import run
+
+    sim1 = make_wide_sim(
+        coupling_settings=CouplingSettings(two_way_coupling_on=False)
+    )
+    sim1.pair_cap = 32 * sim1.model.floes.capacity
+    sim1.n_dt = 5
+    sim1 = run(sim1)
+
+    sim2 = make_wide_sim(
+        coupling_settings=CouplingSettings(two_way_coupling_on=False)
+    )
+    sim2.pair_cap = 32 * sim2.model.floes.capacity
+    sim2.n_dt = 5
+    dec = make_decomp(sim2.model.floes, sim2.model.domain, n_devices=4)
+    sim2 = run_decomp(sim2, dec)
+
+    a, b = _match_by_id(sim1.model.floes, sim2.model.floes)
+    np.testing.assert_allclose(b["centroid"], a["centroid"], rtol=0, atol=1e-4)
+    np.testing.assert_allclose(b["u"], a["u"], rtol=1e-4, atol=1e-10)
+    np.testing.assert_allclose(b["height"], a["height"], rtol=1e-9)
+
+
+def test_decomp_scaling_overhead():
+    """Parallel overhead of the decomposed step on the virtual CPU mesh:
+    8 slabs on shared host cores must stay within 50% of the 1-slab rate
+    (the real-hardware efficiency proxy; see SCALING.md)."""
+    from subzero_tpu.parallel import measure_decomp_scaling
+
+    def builder():
+        # 256 floes -> smaller rmax so 8 slabs each exceed the halo margin
+        s = make_wide_sim(
+            n_floes=256,
+            coupling_settings=CouplingSettings(two_way_coupling_on=False),
+        )
+        s.pair_cap = 32 * s.model.floes.capacity
+        return s
+
+    res = measure_decomp_scaling(builder, n_steps=5)
+    assert res["efficiency"] > 0.5, res

@@ -15,7 +15,7 @@ import pytest
 from subzero_tpu.core.floes import build_floes
 from subzero_tpu.physics import lifecycle_host as lh
 from subzero_tpu.physics import update_floe as uf
-from subzero_tpu.physics.collisions import _accumulate_contacts
+from subzero_tpu.physics.collisions import _accumulate_contacts, _PairSides
 from subzero_tpu.settings import FloeSettings, SubGridPointsGenerator
 from subzero_tpu.tools.conservation import floe_energy_momentum
 
@@ -90,13 +90,22 @@ def test_stress_instant_golden(fix):
         ov = jnp.asarray(inter[:, 6])[:, None]               # [K, 1]
         ii = jnp.zeros((K,), jnp.int32)
         jj = jnp.full((K,), 1, jnp.int32)
+        zk = jnp.zeros((K,), jnp.float64)
+        sides = _PairSides(
+            area_i=zk, h_i=zk, nv_i=zk, cent_i=floes.centroid[ii],
+            u_i=zk, v_i=zk, xi_i=zk, rmax_i=zk,
+            n_j=zk, u_j=zk, v_j=zk, xi_j=zk,
+            cent_j=jnp.zeros((K, 2), jnp.float64),
+            h_j=zk, area_j=zk, rmax_j=zk,
+            is_floe_j=jnp.zeros((K,), bool),
+            wall_id_j=jj - floes.capacity,
+        )
         col_force, col_trq, sm, overarea = _accumulate_contacts(
-            floes, floes.capacity,
-            ii, jj,
+            floes.capacity,
+            ii, jj, sides,
             jnp.ones((K,), bool),
             jnp.zeros((K,), bool),           # no floe reactions
             jnp.zeros((K, 2), jnp.float64),
-            jnp.zeros((floes.capacity, 2), jnp.float64),
             force, fp, ov,
         )
         stress = np.asarray(sm)[0] / (

@@ -167,6 +167,62 @@ def main():
         )
         return fold(res.floes, res.stress_instant)
 
+    def mk_sides_regions(f, pairs, tc):
+        import jax.numpy as jnp2
+
+        PC = pairs.qi.shape[0]
+        q_verts = jnp.concatenate([f.verts, q_verts_tail], 0)
+        q_n = jnp.concatenate([f.nverts, q_n_tail], 0)
+        T = dm.topography.count
+        wall_cent = jnp.zeros((4, 2), dtype)
+        q_cent = jnp.concatenate(
+            [f.centroid, wall_cent, dm.topography.centroid.astype(dtype)], 0
+        )
+        q_table = C._q_table(f, dm, q_n, q_cent, dtype)
+        row_cap = PC // N
+        sides = C._gather_sides(f, q_table, pairs.qi, pairs.qj, row_cap=row_cap)
+        R1 = 1
+        fast_regions = C.ClipRegions(
+            total_area=tc.area,
+            area=tc.area[:, None],
+            centroid=tc.centroid[:, None, :],
+            n_cross=jnp.full((PC, R1), 2, jnp.int32),
+            chord_a=tc.chord_a[:, None, :],
+            chord_b=tc.chord_b[:, None, :],
+            p_norm=tc.p_norm[:, None, :],
+            p_len=jnp.zeros((PC, R1), dtype),
+            p_cnt=jnp.zeros((PC, R1), jnp.int32),
+            q_cnt=jnp.zeros((PC, R1), jnp.int32),
+            valid=(pairs.valid & tc.ok & (tc.area > 0))[:, None],
+            overflow=jnp.asarray(False),
+        )
+        return sides, fast_regions, row_cap
+
+    def body_broad_fast_forces(f, ts):
+        pairs = C.find_candidate_pairs(f, dm, sim.pair_cap)
+        tc = mk_fast(f, pairs)
+        sides, fast_regions, row_cap = mk_sides_regions(f, pairs, tc)
+        f_force, f_fp, f_rec = C._region_forces(
+            consts, dt, dm.vals, sides, pairs.shift, fast_regions,
+            pairs.valid & tc.ok,
+        )
+        return fold(fold(f, tc.area), f_force)
+
+    def body_broad_fast_forces_acc(f, ts):
+        pairs = C.find_candidate_pairs(f, dm, sim.pair_cap)
+        tc = mk_fast(f, pairs)
+        sides, fast_regions, row_cap = mk_sides_regions(f, pairs, tc)
+        f_force, f_fp, f_rec = C._region_forces(
+            consts, dt, dm.vals, sides, pairs.shift, fast_regions,
+            pairs.valid & tc.ok,
+        )
+        acc = C._accumulate_contacts(
+            N, pairs.qi, pairs.qj, sides, pairs.valid,
+            sides.is_floe_j & pairs.valid, pairs.shift,
+            f_force, f_fp, f_rec, row_cap=row_cap,
+        )
+        return fold(fold(f, acc[0]), acc[2])
+
     def body_tail(f, ts):
         # everything after collisions (coupling off in this config's cadence)
         si = jnp.zeros_like(f.stress_accum)
@@ -185,6 +241,8 @@ def main():
         ("broad only", body_broad),
         ("broad + fast narrow", body_broad_fast),
         ("broad + fast + slow narrow", body_broad_fast_slow),
+        ("broad + fast + forces", body_broad_fast_forces),
+        ("broad + fast + forces + acc", body_broad_fast_forces_acc),
         ("timestep_collisions (all)", body_collide),
         ("integrate+wrap+remove (tail)", body_tail),
         ("FULL STEP", body_full),
