@@ -105,11 +105,32 @@ class FloeOutputWriter:
         mode = "w" if self.overwrite else "x"
         self._file = h5py.File(os.path.join(self.dir, self.filename), mode)
 
-    def write(self, tstep, floes: FloeState):
+    def write(self, tstep, floes: FloeState, interactions=None):
         if self._file is None:
             self.open()
         g = self._file.create_group(str(tstep))
-        _write_floes(g, floes, self.outputs)
+        fields = [k for k in self.outputs if k != "interactions"]
+        _write_floes(g, floes, fields)
+        if interactions is not None:
+            # reference FloeOutputWriter's per-floe n x 7 interaction
+            # matrices (output.jl:558-572), stored flat with an extra
+            # leading i column: [i, j, fx, fy, px, py, torque, overlap]
+            v = np.asarray(interactions["valid"])
+            rows = np.stack(
+                [
+                    np.asarray(interactions[k])[v]
+                    for k in ("i", "j", "fx", "fy", "px", "py", "torque", "overlap")
+                ],
+                axis=1,
+            )
+            g.create_dataset("interactions", data=rows)
+            counts = np.bincount(
+                np.asarray(interactions["i"])[v].astype(int),
+                minlength=floes.capacity,
+            )
+            g.create_dataset(
+                "num_inters", data=counts[np.asarray(floes.active)]
+            )
 
     def close(self):
         if self._file is not None:
@@ -250,7 +271,15 @@ class OutputWriters:
         if tstep == 0 and self.initial_state is not None:
             self.initial_state.write(sim)
         if self.floes is not None and tstep % self.floes.interval == 0:
-            self.floes.write(tstep, floes)
+            inters = None
+            if "interactions" in self.floes.outputs:
+                from ..physics.collisions import pair_interactions
+
+                inters = pair_interactions(
+                    floes, domain, sim.consts, float(sim.dt), sim.pair_cap,
+                    sim.clip_cap, sim.bins,
+                )
+            self.floes.write(tstep, floes, interactions=inters)
         if self.grid is not None and tstep % self.grid.interval == 0:
             self.grid.write(tstep, floes, ocean, sim.model.grid)
         if (

@@ -426,6 +426,150 @@ def pair_overlaps(
     return i0, j_enc, area, valid, overflow
 
 
+def pair_interactions(
+    floes: FloeState,
+    domain: Domain,
+    consts: Constants,
+    dt: float,
+    pair_cap: int,
+    clip_cap: int = DEFAULT_CAP,
+    bins: tuple | None = None,
+):
+    """Materialized per-contact interaction rows, for output/diagnostics.
+
+    The reference stores growable n x 7 ``interactions`` matrices on every
+    floe (floe.jl:102-118, written by FloeOutputWriter, output.jl:558-572);
+    the TPU hot path only keeps aggregates, so this function recomputes the
+    per-contact quantities on demand (writer cadence, not per step).
+
+    Returns a dict of arrays over a fixed contact capacity:
+      i [K]        P-side floe pool index
+      j [K]        partner: >= 0 floe pool index, -1..-4 walls, <= -5 topo
+      fx, fy [K]   contact force on floe i (add_interactions! columns 2-3)
+      px, py [K]   force application point (columns 4-5)
+      torque [K]   torque about i's centroid (calc_torque!, column 6)
+      overlap [K]  region overlap area (column 7)
+      valid [K]    row validity mask
+      overflow []  capacity-truncation flag
+    Rows are one-directional (each unordered pair appears once, owned by
+    one side); mirror with force negation for the reference's two-sided
+    bookkeeping.
+    """
+    N = floes.capacity
+    V = floes.max_verts
+    dtype = floes.verts.dtype
+    vals = domain.vals
+    pairs = find_candidate_pairs(floes, domain, pair_cap, bins)
+    PC = pairs.qi.shape[0]
+
+    wall_vs, wall_ns = [], []
+    for w in range(4):
+        wv, wn = wall_rect(domain, w, V, dtype)
+        wall_vs.append(wv)
+        wall_ns.append(wn)
+    q_verts = jnp.concatenate(
+        [floes.verts, jnp.stack(wall_vs), domain.topography.verts.astype(dtype)],
+        axis=0,
+    )
+    q_n = jnp.concatenate(
+        [floes.nverts, jnp.stack(wall_ns), domain.topography.nverts], axis=0
+    )
+    wall_cent = jnp.zeros((4, 2), dtype)
+    q_cent = jnp.concatenate(
+        [floes.centroid, wall_cent, domain.topography.centroid.astype(dtype)],
+        axis=0,
+    )
+    q_table = _q_table(floes, domain, q_n, q_cent, dtype)
+
+    i0, j0, pvalid0 = pairs.qi, pairs.qj, pairs.valid
+    row_cap0 = PC // N
+    sides0 = _gather_sides(floes, q_table, i0, j0, row_cap=row_cap0)
+    eps_rel = 1e-9 if dtype == jnp.float64 else 2e-6
+    perturb0 = eps_rel * (
+        sides0.rmax_i + jnp.where(sides0.is_floe_j, sides0.rmax_j, sides0.rmax_i)
+    )
+    tc = two_cross_dispatch(
+        floes.verts[i0], floes.nverts[i0],
+        q_verts[j0] + pairs.shift[:, None, :], q_n[j0], perturb0,
+    )
+    fast_ok = pvalid0 & tc.ok
+    R1 = 1
+    fast_regions = ClipRegions(
+        total_area=tc.area,
+        area=tc.area[:, None],
+        centroid=tc.centroid[:, None, :],
+        n_cross=jnp.full((PC, R1), 2, jnp.int32),
+        chord_a=tc.chord_a[:, None, :],
+        chord_b=tc.chord_b[:, None, :],
+        p_norm=tc.p_norm[:, None, :],
+        p_len=jnp.zeros((PC, R1), dtype),
+        p_cnt=jnp.zeros((PC, R1), jnp.int32),
+        q_cnt=jnp.zeros((PC, R1), jnp.int32),
+        valid=(fast_ok & (tc.area > 0))[:, None],
+        overflow=jnp.asarray(False),
+    )
+    f_force, f_fp, f_rec = _region_forces(
+        consts, dt, vals, sides0, pairs.shift, fast_regions, fast_ok,
+    )
+
+    # slow path (multi-region contacts)
+    slow_cap = max(pair_cap // 128, 32)
+    slow_mask = pvalid0 & (tc.cnt > 0) & ~tc.ok
+    n_slow = jnp.sum(slow_mask.astype(jnp.int32))
+    (ssel,) = jnp.nonzero(slow_mask, size=slow_cap, fill_value=PC)
+    svalid = ssel < PC
+    ssafe = jnp.minimum(ssel, PC - 1)
+    i1, j1 = i0[ssafe], j0[ssafe]
+    shift1 = pairs.shift[ssafe]
+    sregions = jax.vmap(
+        lambda a, b, c, d, p: intersect_regions(a, b, c, d, CAP=clip_cap, perturb=p)
+    )(
+        floes.verts[i1], floes.nverts[i1],
+        q_verts[j1] + shift1[:, None, :], q_n[j1], perturb0[ssafe],
+    )
+    sides1 = _gather_sides(floes, q_table, i1, j1)
+    s_force, s_fp, s_rec = _region_forces(
+        consts, dt, vals, sides1, shift1, sregions,
+        svalid & (sregions.total_area > 0),
+    )
+
+    def enc(j):
+        return jnp.where(
+            j < N, j, jnp.where(j < N + 4, -(j - N) - 1, -(j - N - 4) - 5)
+        )
+
+    def rows(i, j, cent_i, force, fp, rec, base_valid):
+        R = force.shape[1]
+        ri_ = fp - cent_i[:, None, :]
+        trq = ri_[..., 0] * force[..., 1] - ri_[..., 1] * force[..., 0]
+        nonzero = jnp.sum(jnp.abs(force), axis=-1) > 0
+        out_valid = base_valid[:, None] & nonzero
+        tile = lambda x: jnp.broadcast_to(
+            x[:, None], (x.shape[0], R)
+        ).reshape(-1)
+        return {
+            "i": tile(i),
+            "j": tile(enc(j)),
+            "fx": force[..., 0].reshape(-1),
+            "fy": force[..., 1].reshape(-1),
+            "px": fp[..., 0].reshape(-1),
+            "py": fp[..., 1].reshape(-1),
+            "torque": trq.reshape(-1),
+            "overlap": rec.reshape(-1),
+            "valid": out_valid.reshape(-1),
+        }
+
+    rf = rows(i0, j0, sides0.cent_i, f_force, f_fp, f_rec, fast_ok)
+    rs = rows(i1, j1, sides1.cent_i, s_force, s_fp, s_rec, svalid)
+    out = {k: jnp.concatenate([rf[k], rs[k]]) for k in rf}
+    out["overflow"] = (
+        pairs.overflow
+        | (n_slow > slow_cap)
+        | jnp.any(jnp.where(svalid, sregions.overflow, False))
+    )
+    return out
+
+
 class _PairSides(NamedTuple):
     """Per-pair gathered quantities for one contact list (all [K] or [K,2]).
 
@@ -953,24 +1097,16 @@ def timestep_collisions(
     stress_instant = sm / ah_safe[:, None, None]
 
     # fuse / remove marks - over the FULL candidate list so containment
-    # pairs (no boundary crossings) are included.  Scatter-free: the i side
-    # is row-structured; the j side is a masked [PC, N] reduction (fuse
-    # events are rare but the mark must be exact).
+    # pairs (no boundary crossings) are included.  Scatter-free via the
+    # row structure of the i side.  Marking is one-sided (the pair's owner
+    # records the partner): the host fuse pass (lifecycle_host.fuse_floes)
+    # processes a marked pair from either endpoint, so the reference's
+    # both-floes-marked bookkeeping (collisions.jl:364-368) is redundant.
     fuse_i = jnp.any(fuse_pair0.reshape(N, row_cap0), axis=1)
     fw_i = jnp.max(
         jnp.where(fuse_pair0, j0, -1).reshape(N, row_cap0), axis=1
     )
-    jsel = (
-        (j0[:, None] == jnp.arange(N, dtype=j0.dtype)[None, :])
-        & fuse_pair0[:, None]
-    )  # [PC, N]
-    fuse_j = jnp.any(jsel, axis=0)
-    fw_j = jnp.max(jnp.where(jsel, i0[:, None], -1), axis=0)
-    fuse_any = fuse_i | fuse_j
-    # record one fuse partner (max pool index wins)
-    fuse_with = jnp.maximum(
-        jnp.where(fuse_any, jnp.maximum(fw_i, fw_j), -1), -1
-    ).astype(jnp.int32)
+    fuse_with = jnp.where(fuse_i, fw_i, -1).astype(jnp.int32)
     remove = remove | jnp.any(dom_remove_pair0.reshape(N, row_cap0), axis=1)
 
     new_floes = floes._replace(

@@ -79,7 +79,11 @@ class Simulation:
             g = self.model.grid
             cap = int(2 * np.ceil(1.5 * rmax / min(g.dx, g.dy)) + 3)
             self.cell_cap = min(cap, max(g.Nx, g.Ny) + 1)
-        if self.bins is None and N >= 768:
+        # The dense [N, N] broad phase is pure well-tiled VPU work and beats
+        # the binned path's gather chains on TPU well into the thousands of
+        # floes; binning pays off only when the O(N^2) candidate matrix
+        # dominates (N >~ 4k).
+        if self.bins is None and N >= 4096:
             self.bins = _auto_bins(self.model)
 
 

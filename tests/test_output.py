@@ -91,3 +91,109 @@ def test_writers_roundtrip(sim):
     n0 = int(sim2.model.floes.count())
     run(sim2, start_tstep=last)
     assert int(sim2.model.floes.count()) == n0
+
+
+def test_interaction_rows_match_aggregates():
+    """pair_interactions rows must sum to timestep_collisions' aggregate
+    force/torque/overarea per floe (the reference's add_interactions!
+    bookkeeping, collisions.jl:285-309)."""
+    from subzero_tpu.core import BoundaryKind as BK
+    from subzero_tpu.core.floes import build_floes
+    from subzero_tpu.physics.collisions import (
+        pair_interactions,
+        timestep_collisions,
+    )
+    from subzero_tpu.settings import (
+        CollisionSettings,
+        FloeSettings,
+        SubGridPointsGenerator,
+    )
+
+    fs = FloeSettings(
+        min_floe_area=0.0, subfloe_point_generator=SubGridPointsGenerator(1e9)
+    )
+    grid = make_grid(-1e5, 1e5, -1e5, 1e5, Nx=10, Ny=10)
+    domain = make_domain(grid, *([BK.OPEN] * 4), dtype=jnp.float64)
+    sq = [[0.0, 0.0], [2e4, 0.0], [2e4, 2e4], [0.0, 2e4]]
+    sq2 = (np.asarray(sq) + np.asarray([1.5e4, 0.5e4])).tolist()
+    tri = [[2.8e4, 1e4], [4.8e4, 1e4], [3.8e4, 3e4]]
+    floes = build_floes([sq, sq2, tri], 0.5, 0.0, fs, N=8, dtype=jnp.float64)
+    floes = floes._replace(
+        u=jnp.asarray([0.1, -0.1, -0.3, 0, 0, 0, 0, 0.0]),
+    )
+    consts = Constants(E=1e6)
+    res = timestep_collisions(
+        floes, domain, consts, 10.0, CollisionSettings(), 64 * 8
+    )
+    rows = pair_interactions(floes, domain, consts, 10.0, 64 * 8)
+    v = np.asarray(rows["valid"])
+    assert v.sum() >= 2  # the three floes produce at least two contacts
+    i = np.asarray(rows["i"])[v]
+    j = np.asarray(rows["j"])[v]
+    fx = np.asarray(rows["fx"])[v]
+    fy = np.asarray(rows["fy"])[v]
+    trq = np.asarray(rows["torque"])[v]
+    ov = np.asarray(rows["overlap"])[v]
+    n = floes.capacity
+    agg_fx = np.zeros(n)
+    agg_fy = np.zeros(n)
+    agg_ov = np.zeros(n)
+    for k in range(len(i)):
+        agg_fx[i[k]] += fx[k]
+        agg_fy[i[k]] += fy[k]
+        agg_ov[i[k]] += ov[k]
+        if j[k] >= 0:  # mirror the reaction onto the partner
+            agg_fx[j[k]] -= fx[k]
+            agg_fy[j[k]] -= fy[k]
+            agg_ov[j[k]] += ov[k]
+    np.testing.assert_allclose(
+        agg_fx, np.asarray(res.floes.collision_force)[:, 0], rtol=1e-9,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        agg_fy, np.asarray(res.floes.collision_force)[:, 1], rtol=1e-9,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        agg_ov, np.asarray(res.floes.overarea), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_floe_writer_interactions_output(tmp_path):
+    """FloeOutputWriter can emit the reference's interactions/num_inters
+    diagnostics (output.jl:558-572)."""
+    from subzero_tpu.io.writers import DEFAULT_FLOE_FIELDS
+
+    grid = make_grid(0.0, 1e5, 0.0, 1e5, Nx=10, Ny=10)
+    ocean = make_ocean(grid, u=0.1, v=0.0, temp=0.0, dtype=jnp.float64)
+    atmos = make_atmos(grid, temp=-1.0, dtype=jnp.float64)
+    domain = make_domain(grid, *([BoundaryKind.PERIODIC] * 4), dtype=jnp.float64)
+    fs = FloeSettings(
+        min_floe_area=0.0,
+        subfloe_point_generator=MonteCarloPointsGenerator(npoints=100),
+    )
+    floes = initialize_floe_field(
+        6, [0.6], domain, 0.25, 0.0, fs, rng=np.random.default_rng(2),
+        dtype=jnp.float64,
+    )
+    model = make_model(grid, ocean, atmos, domain, floes)
+    writers = OutputWriters(
+        floes=FloeOutputWriter(
+            5, dir=str(tmp_path), overwrite=True,
+            outputs=tuple(DEFAULT_FLOE_FIELDS) + ("interactions",),
+        ),
+    )
+    sim = Simulation(
+        model=model,
+        consts=Constants(E=1e6),
+        dt=10,
+        n_dt=10,
+        floe_settings=fs,
+        coupling_settings=CouplingSettings(two_way_coupling_on=False),
+        writers=writers,
+    )
+    run(sim)
+    with h5py.File(tmp_path / "floes.h5", "r") as f:
+        assert "interactions" in f["5"]
+        assert f["5/interactions"].shape[1] == 8
+        assert "num_inters" in f["5"]
