@@ -1,10 +1,14 @@
 from .mesh import make_mesh, measure_scaling, shard_state, sharded_step  # noqa: F401
 from .decomp import (  # noqa: F401
     Decomp,
+    Decomp2D,
     build_decomp_step,
+    build_decomp_step_2d,
     distribute,
+    distribute_2d,
     gather,
     make_decomp,
+    make_decomp_2d,
     measure_decomp_scaling,
     run_decomp,
 )

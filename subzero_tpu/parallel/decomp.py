@@ -50,6 +50,7 @@ from ..physics import update_floe as _update_floe
 __all__ = [
     "Decomp", "make_decomp", "distribute", "gather", "build_decomp_step",
     "run_decomp", "measure_decomp_scaling",
+    "Decomp2D", "make_decomp_2d", "distribute_2d", "build_decomp_step_2d",
 ]
 
 # fields a halo (collision ghost) copy needs: everything the pair kernel and
@@ -552,3 +553,334 @@ def measure_decomp_scaling(sim_builder, n_steps: int = 20, axis: str = "x"):
     ndev = len(jax.devices())
     res["efficiency"] = res[ndev] / res[1]
     return res
+
+
+# ---------------------------------------------------------------------------
+# 2-D (x, y) domain decomposition
+# ---------------------------------------------------------------------------
+
+def _shift_xy(state_dict: dict, dx, dy):
+    """Translate packed halo/migration buffers by (dx, dy)."""
+    out = dict(state_dict)
+    n = state_dict["centroid"].shape[0]
+    dtype = state_dict["centroid"].dtype
+    sv = jnp.stack(
+        [jnp.broadcast_to(dx, (n,)), jnp.broadcast_to(dy, (n,))], axis=-1
+    ).astype(dtype)
+    out["verts"] = state_dict["verts"] + sv[:, None, :]
+    out["centroid"] = state_dict["centroid"] + sv
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class Decomp2D:
+    """Static 2-D decomposition parameters (SURVEY §7.2-8 groundwork):
+    the domain splits into Dx x Dy rectangular slabs; halo exchange runs
+    x-axis first, then y-axis over the x-extended pool, so corner-diagonal
+    neighbors are reached with 4 ppermutes instead of 8."""
+
+    mesh: Mesh
+    dx_dev: int
+    dy_dev: int
+    local_cap: int
+    halo_cap: int
+    mig_cap: int
+    margin: float
+
+
+def make_decomp_2d(
+    floes: FloeState,
+    domain: Domain,
+    n_dev=(2, 2),
+    local_cap: Optional[int] = None,
+    halo_cap: Optional[int] = None,
+    mig_cap: Optional[int] = None,
+    margin: Optional[float] = None,
+) -> Decomp2D:
+    from ..core.domain import NORTH, SOUTH
+
+    Dx, Dy = n_dev
+    devs = jax.devices()
+    if len(devs) < Dx * Dy:
+        raise ValueError(f"need {Dx * Dy} devices, have {len(devs)}")
+    mesh = Mesh(
+        np.array(devs[: Dx * Dy]).reshape(Dx, Dy), axis_names=("x", "y")
+    )
+    act = np.asarray(floes.active)
+    cx = np.asarray(floes.centroid[:, 0])[act]
+    cy = np.asarray(floes.centroid[:, 1])[act]
+    rmax = np.asarray(floes.rmax)[act]
+    vals = np.asarray(domain.vals, float)
+    w, e = vals[WEST], vals[EAST]
+    s, n = vals[SOUTH], vals[NORTH]
+    slab_x = (e - w) / Dx
+    slab_y = (n - s) / Dy
+    if margin is None:
+        margin = float(2.2 * rmax.max()) if rmax.size else min(slab_x, slab_y) / 4
+    if margin > min(slab_x, slab_y):
+        raise ValueError(
+            f"halo margin {margin:.3g} exceeds slab size "
+            f"({slab_x:.3g} x {slab_y:.3g}); use fewer devices or smaller floes"
+        )
+    ix = np.clip(((cx - w) / slab_x).astype(int), 0, Dx - 1)
+    iy = np.clip(((cy - s) / slab_y).astype(int), 0, Dy - 1)
+    occ = np.bincount(ix * Dy + iy, minlength=Dx * Dy)
+    if local_cap is None:
+        local_cap = int(max(2 * occ.max() + 8, 16))
+    if halo_cap is None:
+        near = 0
+        for d in range(Dx * Dy):
+            lo_x = w + (d // Dy) * slab_x
+            lo_y = s + (d % Dy) * slab_y
+            m = (ix * Dy + iy == d) & (
+                (cx - rmax < lo_x + margin)
+                | (cx + rmax > lo_x + slab_x - margin)
+                | (cy - rmax < lo_y + margin)
+                | (cy + rmax > lo_y + slab_y - margin)
+            )
+            near = max(near, int(m.sum()))
+        halo_cap = int(max(2 * near + 8, 8))
+    if mig_cap is None:
+        mig_cap = int(max(local_cap // 8, 8))
+    return Decomp2D(
+        mesh=mesh, dx_dev=Dx, dy_dev=Dy, local_cap=local_cap,
+        halo_cap=halo_cap, mig_cap=mig_cap, margin=float(margin),
+    )
+
+
+def distribute_2d(floes: FloeState, domain: Domain, dec: Decomp2D) -> FloeState:
+    """Partition a global pool into per-(x,y)-slab local pools: row block
+    (ix * Dy + iy) * local_cap holds slab (ix, iy)."""
+    from ..core.domain import NORTH, SOUTH
+
+    Dx, Dy, Nl = dec.dx_dev, dec.dy_dev, dec.local_cap
+    act = np.asarray(floes.active)
+    vals = np.asarray(domain.vals, float)
+    w, e = vals[WEST], vals[EAST]
+    s, n = vals[SOUTH], vals[NORTH]
+    slab_x = (e - w) / Dx
+    slab_y = (n - s) / Dy
+    cx = np.asarray(floes.centroid[:, 0])
+    cy = np.asarray(floes.centroid[:, 1])
+    ix = np.clip(((cx - w) / slab_x).astype(int), 0, Dx - 1)
+    iy = np.clip(((cy - s) / slab_y).astype(int), 0, Dy - 1)
+    slab = ix * Dy + iy
+
+    def place(a):
+        a = np.asarray(a)
+        out = np.zeros((Dx * Dy * Nl,) + a.shape[1:], a.dtype)
+        for d in range(Dx * Dy):
+            rows = np.flatnonzero(act & (slab == d))
+            if rows.size > Nl:
+                raise ValueError(
+                    f"slab {d} holds {rows.size} floes > local_cap {Nl}"
+                )
+            out[d * Nl : d * Nl + rows.size] = a[rows]
+        return jnp.asarray(out)
+
+    stacked = jax.tree.map(place, floes)
+    sharding = NamedSharding(dec.mesh, P(("x", "y")))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), stacked)
+
+
+def build_decomp_step_2d(sim, dec: Decomp2D):
+    """Compile one distributed step over a 2-D (x, y) slab mesh.
+
+    Same pipeline as the 1-D build_decomp_step; halo exchange and migration
+    run in two axis passes (x then y over the x-extended pool), which
+    covers corner-diagonal neighbors with 4 ppermutes.
+    """
+    from ..core.domain import NORTH, SOUTH
+
+    grid = sim.model.grid
+    atmos = sim.model.atmos
+    consts = sim.consts
+    dt = float(sim.dt)
+    fs = sim.floe_settings
+    cps = sim.coupling_settings
+    cls = sim.collision_settings
+    Dx, Dy = dec.dx_dev, dec.dy_dev
+    Nl = dec.local_cap
+    H = dec.halo_cap
+    Hm = dec.mig_cap
+    ext_cap = Nl + 4 * H
+    row_cap = max(sim.pair_cap // max(sim.model.floes.capacity, 1), 8)
+    pair_cap = max(row_cap * ext_cap, 256)
+
+    def perms(D, wrap):
+        fwd = [(d, (d + 1) % D) for d in range(D if wrap else D - 1)]
+        bwd = [((d + 1) % D, d) for d in range(D if wrap else D - 1)]
+        return fwd, bwd
+
+    def pshuffle(tree, axis, perm):
+        return jax.tree.map(lambda a: jax.lax.ppermute(a, axis, perm), tree)
+
+    def halo_axis(floes, axis, D, me, lo, hi, Lax, wrap, coord, margin):
+        """Exchange edge floes along one mesh axis; returns two packed
+        dicts (from the lower neighbor, from the upper neighbor) and an
+        overflow flag."""
+        c = floes.centroid[:, coord]
+        r = floes.rmax
+        send_lo = floes.active & (c - r < lo + margin)
+        send_hi = floes.active & (c + r > hi - margin)
+        pk_lo, ov1 = _pack(floes, send_lo, H, _HALO_FIELDS)
+        pk_hi, ov2 = _pack(floes, send_hi, H, _HALO_FIELDS)
+        fwd, bwd = perms(D, wrap)
+        recv_from_hi = pshuffle(pk_lo, axis, bwd)
+        recv_from_lo = pshuffle(pk_hi, axis, fwd)
+        if wrap:
+            sl = jnp.where(me == 0, -Lax, 0.0)
+            sh = jnp.where(me == D - 1, Lax, 0.0)
+            if coord == 0:
+                recv_from_lo = _shift_xy(recv_from_lo, sl, 0.0)
+                recv_from_hi = _shift_xy(recv_from_hi, sh, 0.0)
+            else:
+                recv_from_lo = _shift_xy(recv_from_lo, 0.0, sl)
+                recv_from_hi = _shift_xy(recv_from_hi, 0.0, sh)
+        return recv_from_lo, recv_from_hi, ov1 | ov2
+
+    def migrate_axis(floes, axis, D, me, origin, slab_w, coord, wrap, overflow):
+        """Move floes whose centroid left this axis's slab to the owner."""
+        c = floes.centroid[:, coord]
+        dest = jnp.clip(
+            jnp.floor((c - origin) / slab_w).astype(jnp.int32), 0, D - 1
+        )
+        hop = jnp.mod(dest - me, D)
+        go_up = floes.active & (hop >= 1) & (hop <= D // 2)
+        go_dn = floes.active & (dest != me) & ~go_up
+        mig_fields = floes._fields
+        mg_up, ov1 = _pack(floes, go_up, Hm, mig_fields)
+        mg_dn, ov2 = _pack(floes, go_dn, Hm, mig_fields)
+        overflow = overflow | ov1 | ov2
+        floes = floes._replace(active=floes.active & ~(go_up | go_dn))
+        fwd, bwd = perms(D, wrap)
+        recv_hi = pshuffle(mg_dn, axis, bwd)   # from upper neighbor
+        recv_lo = pshuffle(mg_up, axis, fwd)   # from lower neighbor
+        free = ~floes.active
+        (fidx,) = jnp.nonzero(free, size=2 * Hm, fill_value=Nl)
+        for k, recv in enumerate((recv_lo, recv_hi)):
+            slots = fidx[k * Hm : (k + 1) * Hm]
+            ok = recv["active"] & (slots < Nl)
+            overflow = overflow | jnp.any(recv["active"] & (slots >= Nl))
+            idx = jnp.where(ok, slots, Nl)
+            floes = floes._replace(**{
+                f: getattr(floes, f).at[idx].set(recv[f], mode="drop")
+                for f in mig_fields
+            })
+            floes = floes._replace(
+                active=floes.active.at[idx].set(ok, mode="drop")
+            )
+        return floes, overflow
+
+    def local_step(floes, ocean, domain: Domain, tstep):
+        me_x = jax.lax.axis_index("x")
+        me_y = jax.lax.axis_index("y")
+        vals = domain.vals
+        w_val, e_val = vals[WEST], vals[EAST]
+        s_val, n_val = vals[SOUTH], vals[NORTH]
+        Lx = e_val - w_val
+        Ly = n_val - s_val
+        slab_x = Lx / Dx
+        slab_y = Ly / Dy
+        lo_x = w_val + me_x.astype(Lx.dtype) * slab_x
+        lo_y = s_val + me_y.astype(Ly.dtype) * slab_y
+        overflow = jnp.asarray(False)
+
+        # ---- halo exchange: x, then y over the x-extended pool ----------
+        rl, rh, ov = halo_axis(
+            floes, "x", Dx, me_x, lo_x, lo_x + slab_x, Lx,
+            domain.ew_periodic, 0, dec.margin,
+        )
+        overflow = overflow | ov
+        ext_x = jax.tree.map(
+            lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+            floes, _as_halo_state(floes, rl, H), _as_halo_state(floes, rh, H),
+        )
+        rd, ru, ov = halo_axis(
+            ext_x, "y", Dy, me_y, lo_y, lo_y + slab_y, Ly,
+            domain.ns_periodic, 1, dec.margin,
+        )
+        overflow = overflow | ov
+        ext = jax.tree.map(
+            lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+            ext_x,
+            _as_halo_state(floes, rd, H),
+            _as_halo_state(floes, ru, H),
+        )
+
+        # ---- collisions on the extended pool -----------------------------
+        stress_instant = jnp.zeros_like(floes.stress_accum)
+        if cls.collisions_on:
+            res = _collisions.timestep_collisions(
+                ext, domain, consts, dt, cls, pair_cap, sim.clip_cap, None
+            )
+            loc = jax.tree.map(lambda a: a[:Nl], res.floes)
+            floes = floes._replace(
+                collision_force=loc.collision_force,
+                collision_trq=loc.collision_trq,
+                overarea=loc.overarea,
+                remove=loc.remove,
+                fuse_with=loc.fuse_with,
+            )
+            stress_instant = res.stress_instant[:Nl]
+            overflow = overflow | res.overflow
+        domain = domain.update_boundaries(dt)
+
+        # ---- coupling (psum over both axes) -------------------------------
+        if cps.coupling_on:
+            def do_coupling(args):
+                floes_, ocean_ = args
+                return _coupling.timestep_coupling(
+                    floes_, grid, domain, ocean_, atmos, consts, cps, fs,
+                    dt, sim.cell_cap, axis_name=("x", "y"),
+                )
+
+            def skip_coupling(args):
+                floes_, ocean_ = args
+                if cps.two_way_coupling_on:
+                    zero = jax.lax.psum(
+                        jnp.zeros((), ocean_.tau_x.dtype), ("x", "y")
+                    )
+                    ocean_ = ocean_._replace(tau_x=ocean_.tau_x + zero)
+                return floes_, ocean_
+
+            floes, ocean = jax.lax.cond(
+                jnp.mod(tstep, cps.dt) == 0, do_coupling, skip_coupling,
+                (floes, ocean),
+            )
+
+        # ---- integrate + wrap + removal -----------------------------------
+        floes = _update_floe.timestep_floe_properties(
+            floes, dt, fs, stress_instant
+        )
+        floes = _update_floe.wrap_periodic(floes, domain)
+        diss0 = ocean.dissolved
+        floes, ocean = _simplification.remove_and_dissolve(
+            floes, ocean, grid, domain, fs
+        )
+        ocean = ocean._replace(
+            dissolved=diss0
+            + jax.lax.psum(ocean.dissolved - diss0, ("x", "y"))
+        )
+
+        # ---- migration: x pass then y pass --------------------------------
+        floes, overflow = migrate_axis(
+            floes, "x", Dx, me_x, w_val, slab_x, 0, domain.ew_periodic,
+            overflow,
+        )
+        floes, overflow = migrate_axis(
+            floes, "y", Dy, me_y, s_val, slab_y, 1, domain.ns_periodic,
+            overflow,
+        )
+
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), ("x", "y")) > 0
+        return floes, ocean, domain, overflow
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=dec.mesh,
+        in_specs=(P(("x", "y")), P(), P(), P()),
+        out_specs=(P(("x", "y")), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -315,3 +315,105 @@ def test_decomp_scaling_overhead():
 
     res = measure_decomp_scaling(builder, n_steps=5)
     assert res["efficiency"] > 0.5, res
+
+
+# ---------------------------------------------------------------------------
+# 2-D (x, y) decomposition groundwork
+# ---------------------------------------------------------------------------
+
+from subzero_tpu.parallel import (
+    build_decomp_step_2d,
+    distribute_2d,
+    make_decomp_2d,
+)
+
+
+def make_square_sim(n_floes=256, dtype=jnp.float64, **kw):
+    """Square 2e5 domain with enough floes that 2x2 slabs beat the margin."""
+    grid = make_grid(0.0, 2e5, 0.0, 2e5, Nx=10, Ny=10)
+    ocean = make_ocean(grid, u=0.15, v=-0.1, temp=0.0, dtype=dtype)
+    atmos = make_atmos(grid, temp=-1.0, dtype=dtype)
+    domain = make_domain(grid, *([BoundaryKind.PERIODIC] * 4), dtype=dtype)
+    fs = FloeSettings(
+        min_floe_area=1e6,
+        subfloe_point_generator=SubGridPointsGenerator.from_grid(grid, 2),
+    )
+    floes = initialize_floe_field(
+        n_floes, [0.5], domain, 0.25, 0.0, fs, rng=np.random.default_rng(9),
+        dtype=dtype,
+    )
+    model = make_model(grid, ocean, atmos, domain, floes)
+    return Simulation(
+        model=model,
+        consts=Constants(E=1e6),
+        dt=20,
+        n_dt=0,
+        floe_settings=fs,
+        coupling_settings=kw.pop(
+            "coupling_settings", CouplingSettings(two_way_coupling_on=True)
+        ),
+        **kw,
+    )
+
+
+def test_decomp2d_matches_single_device():
+    """A 2x2 (x, y) decomposition (corner halos via the two-pass exchange)
+    tracks the single-device trajectory."""
+    sim = make_square_sim()
+    m = sim.model
+    sim.pair_cap = 32 * m.floes.capacity
+    step = build_step(sim)
+    f1, o1, d1 = m.floes, m.ocean, m.domain
+    for k in range(5):
+        f1, o1, d1, ov1 = step(f1, o1, d1, jnp.asarray(k))
+        assert not bool(ov1)
+
+    sim2 = make_square_sim()
+    m2 = sim2.model
+    sim2.pair_cap = 32 * m2.floes.capacity
+    dec = make_decomp_2d(m2.floes, m2.domain, n_dev=(2, 2))
+    fd = distribute_2d(m2.floes, m2.domain, dec)
+    dstep = build_decomp_step_2d(sim2, dec)
+    od, dd = m2.ocean, m2.domain
+    for k in range(5):
+        fd, od, dd, overflow = dstep(fd, od, dd, jnp.asarray(k))
+    assert not bool(overflow)
+
+    fg = gather(fd)
+    a, b = _match_by_id(f1, fg)
+    np.testing.assert_allclose(b["centroid"], a["centroid"], rtol=0, atol=1e-4)
+    np.testing.assert_allclose(b["u"], a["u"], rtol=1e-4, atol=1e-10)
+    np.testing.assert_allclose(b["v"], a["v"], rtol=1e-4, atol=1e-10)
+    np.testing.assert_allclose(b["height"], a["height"], rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(od.si_frac), np.asarray(o1.si_frac), rtol=1e-4, atol=1e-10
+    )
+
+
+def test_decomp2d_migration_across_corner():
+    """A floe advected diagonally crosses both slab edges (x pass + y pass
+    routing) without loss."""
+    from subzero_tpu.settings import CollisionSettings
+
+    sim = make_square_sim(
+        coupling_settings=CouplingSettings(coupling_on=False),
+        collision_settings=CollisionSettings(collisions_on=False),
+    )
+    m = sim.model
+    floes = m.floes._replace(
+        u=jnp.where(m.floes.active, 400.0, 0.0),
+        v=jnp.where(m.floes.active, 400.0, 0.0),
+    )
+    dec = make_decomp_2d(floes, m.domain, n_dev=(2, 2))
+    fd = distribute_2d(floes, m.domain, dec)
+    dstep = build_decomp_step_2d(sim, dec)
+    od, dd = m.ocean, m.domain
+    n0 = int(jnp.sum(floes.active))
+    ids0 = sorted(np.asarray(floes.id)[np.asarray(floes.active)].tolist())
+    for k in range(40):
+        fd, od, dd, overflow = dstep(fd, od, dd, jnp.asarray(k))
+        assert not bool(overflow), f"capacity overflow at step {k}"
+    fg = gather(fd)
+    assert int(jnp.sum(fg.active)) == n0
+    ids1 = sorted(np.asarray(fg.id)[np.asarray(fg.active)].tolist())
+    assert ids0 == ids1
