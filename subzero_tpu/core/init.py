@@ -170,6 +170,7 @@ def initialize_floe_field(
     floe_settings: FloeSettings = FloeSettings(min_floe_area=0.0),
     rng=None,
     shrink_frac: float = 1e-4,
+    floe_bounds=None,
     **kwargs,
 ) -> FloeState:
     """Voronoi floe field with per-cell concentrations (floe.jl:548-634).
@@ -179,6 +180,10 @@ def initialize_floe_field(
     exactly shared (degenerate) edges. The reference leaves cells flush -
     identical physics (zero contact force either way), but the gap keeps
     the t=0 contact list from being flooded with degenerate sliver pairs.
+
+    ``floe_bounds``: optional polygon ring restricting floe placement to a
+    sub-region of the domain (the reference's floe_bounds keyword, used by
+    examples/forcing_contained_floes.jl).
     """
     if rng is None:
         rng = np.random.default_rng(1)
@@ -186,6 +191,15 @@ def initialize_floe_field(
     box = _domain_box(domain)
     topo = _topo_rings(domain)
     open_water = _subtract_topo([box], topo)
+    if floe_bounds is not None:
+        b = np.asarray(floe_bounds, float)
+        if b.ndim == 3:
+            b = b[0]
+        bring = host_clip._clean_ring(b)
+        bounded = []
+        for p in open_water:
+            bounded.extend(host_clip.intersect(p, bring))
+        open_water = bounded
     open_water_area = sum(host_clip.poly_area_np(p) for p in open_water)
 
     lo = box.min(0)
