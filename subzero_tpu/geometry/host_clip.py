@@ -240,7 +240,8 @@ def _boolean_halfplane(S, hc, C):
     return out
 
 
-def _with_retries(Sc, Cc, op, max_tries=8):
+def _with_retries_py(Sc, Cc, op, max_tries=8):
+    """Pure-Python boolean with the degeneracy-perturbation retry loop."""
     S0 = np.asarray(Sc, float)
     C0 = np.asarray(Cc, float)
     scale = max(
@@ -256,6 +257,18 @@ def _with_retries(Sc, Cc, op, max_tries=8):
         except _Degenerate:
             continue
     raise RuntimeError(f"polygon boolean '{op}' failed after {max_tries} perturbations")
+
+
+def _with_retries(Sc, Cc, op, max_tries=8):
+    """Boolean via the native C++ kernel (subzero_tpu/native/clip.cpp, the
+    same algorithm + retry schedule) when available; pure-Python fallback
+    otherwise (SUBZERO_NATIVE=0 forces the fallback)."""
+    from .. import native
+
+    rings = native.poly_boolean(op, np.asarray(Sc, float), np.asarray(Cc, float))
+    if rings is None:
+        return _with_retries_py(Sc, Cc, op, max_tries)
+    return rings
 
 
 def intersect(S, C):
