@@ -87,23 +87,24 @@ def find_candidate_pairs(
 
 
 def _rank_select_rows(mask, row_cap):
-    """Per-row compaction of a boolean [N, C] candidate matrix WITHOUT any
-    sort/scatter/nonzero: sel[i, k] = column of the (k+1)-th True in row i
-    (or C if the row has fewer), computed with a row cumsum + K masked
-    count-reductions (the reduction runs [K, N, C] with C in lanes, so it is
-    pure well-tiled VPU work).
+    """Per-row compaction of a boolean [N, C] candidate matrix: sel[i, k] =
+    column of the (k+1)-th True in row i (or C if the row has fewer).
+
+    Implemented with one ``top_k`` over descending-priority keys (smallest
+    True column first) - a single fused TPU op, versus the row_cap masked
+    [row_cap, N, C] count-reductions of the cumsum formulation.
 
     Returns (sel [N, row_cap] int32, valid [N, row_cap], overflow [])."""
     N, C = mask.shape
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # [N, C]
-    row_tot = rank[:, -1]
-    k = jnp.arange(row_cap, dtype=jnp.int32)
-    # position of the (k+1)-th True = #(prefix counts <= k); rank is
-    # nondecreasing so the count is exactly the index where it first exceeds k
-    sel = jnp.sum(
-        (rank[None, :, :] <= k[:, None, None]).astype(jnp.int32), axis=2
-    ).T  # [N, row_cap]
-    valid = k[None, :] < row_tot[:, None]
+    col = jnp.arange(C, dtype=jnp.int32)
+    # key > 0 iff candidate; larger key = smaller column index
+    key = jnp.where(mask, C - col, 0)
+    if row_cap > C:  # tiny pools: top_k needs k <= width
+        key = jnp.pad(key, ((0, 0), (0, row_cap - C)))
+    topv, _ = jax.lax.top_k(key, row_cap)  # [N, row_cap], descending
+    valid = topv > 0
+    sel = jnp.where(valid, C - topv, C)
+    row_tot = jnp.sum(mask.astype(jnp.int32), axis=1)
     overflow = jnp.any(row_tot > row_cap)
     return sel.astype(jnp.int32), valid, overflow
 
