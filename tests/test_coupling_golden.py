@@ -1,0 +1,103 @@
+"""OA forcing golden numbers (test_coupling.jl:464-579, "OA Forcings").
+
+Uses the reference's test_mc_points.jld2 fixture - the exact Monte-Carlo
+sub-floe points the MATLAB lineage used to produce the golden fxOA/fyOA/
+trqOA values - so the drag/Coriolis/turning-angle quadrature is compared
+point-for-point. (Models 5-6 use non-uniform fields whose Julia matrix
+orientation is not reproducible without Julia; the uniform-field models
+1-4 pin the full force recipe.)
+"""
+
+import h5py
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from subzero_tpu.constants import Constants
+from subzero_tpu.core import (
+    BoundaryKind,
+    make_atmos,
+    make_domain,
+    make_grid,
+    make_ocean,
+)
+from subzero_tpu.core.floes import build_floes
+from subzero_tpu.physics.coupling import calc_one_way_coupling
+from subzero_tpu.settings import FloeSettings, SubGridPointsGenerator
+
+GRID = make_grid(-1e5, 1e5, -1e5, 1e5, dx=1e4, dy=1e4)
+C = BoundaryKind.COLLISION
+DOMAIN = make_domain(GRID, C, C, C, C, dtype=jnp.float64)
+RECT = [[-1.75e4, 5e4], [-1.25e4, 5e4], [-1.25e4, 7e4], [-1.75e4, 7e4]]
+FSET = FloeSettings(
+    min_floe_area=0.0, subfloe_point_generator=SubGridPointsGenerator(1e9)
+)
+
+
+def _floe_with_fixture_points(u=0.0, v=0.0):
+    with h5py.File("/root/reference/test/inputs/test_mc_points.jld2", "r") as f:
+        X = np.asarray(f["X"][()], float).ravel()
+        Y = np.asarray(f["Y"][()], float).ravel()
+    floes = build_floes(
+        [RECT], 0.25, 0.0, FSET, N=2, P=max(1024, len(X)), dtype=jnp.float64,
+        u=u, v=v,
+    )
+    P = floes.max_sub
+    sx = np.zeros((2, P))
+    sy = np.zeros((2, P))
+    sx[0, : len(X)] = X
+    sy[0, : len(Y)] = Y
+    nsub = np.array(floes.nsub)
+    nsub[0] = len(X)
+    return floes._replace(
+        sub_x=jnp.asarray(sx), sub_y=jnp.asarray(sy),
+        nsub=jnp.asarray(nsub),
+    )
+
+
+def _consts():
+    area = 4e7  # 0.5e4 x 2e4 rectangle
+    modulus = 1.5e3 * (np.sqrt(area) + np.sqrt(area))
+    return Constants(E=float(modulus))
+
+
+def _run(ocean_u, ocean_v, atmos_u=0.0, atmos_v=0.0, u=0.0, v=0.0):
+    ocean = make_ocean(GRID, u=ocean_u, v=ocean_v, temp=0.0, dtype=jnp.float64)
+    atmos = make_atmos(GRID, u=atmos_u, v=atmos_v, temp=-20.0, dtype=jnp.float64)
+    floes = _floe_with_fixture_points(u=u, v=v)
+    ow = calc_one_way_coupling(floes, GRID, DOMAIN, ocean, atmos, _consts())
+    f = ow.floes
+    area = float(f.area[0])
+    return (
+        float(f.fx_oa[0]) / area,
+        float(f.fy_oa[0]) / area,
+        float(f.trq_oa[0]) / area,
+    )
+
+
+def test_stationary_floe_zonal_ocean():
+    fx, fy, trq = _run(ocean_u=1.0, ocean_v=0.0)
+    assert fx == pytest.approx(2.9760, abs=1e-3)
+    assert fy == pytest.approx(0.8296, abs=1e-3)
+    assert trq == pytest.approx(-523.9212, abs=1e-3)
+
+
+def test_stationary_floe_meridional_ocean():
+    fx, fy, trq = _run(ocean_u=0.0, ocean_v=1.0)
+    assert fx == pytest.approx(-0.8296, abs=1e-3)
+    assert fy == pytest.approx(2.9760, abs=1e-3)
+    assert trq == pytest.approx(239.3141, abs=1e-3)
+
+
+def test_moving_floe_zero_ocean():
+    fx, fy, trq = _run(ocean_u=0.0, ocean_v=0.0, u=0.25, v=0.1)
+    assert fx == pytest.approx(-0.1756, abs=1e-3)
+    assert fy == pytest.approx(-0.1419, abs=1e-3)
+    assert trq == pytest.approx(29.0465, abs=1e-1)
+
+
+def test_stationary_floe_diagonal_atmos():
+    fx, fy, trq = _run(ocean_u=0.0, ocean_v=0.0, atmos_u=-1.0, atmos_v=-0.5)
+    assert fx == pytest.approx(-0.0013, abs=1e-3)
+    assert fy == pytest.approx(-6.7082e-4, abs=1e-3)
+    assert trq == pytest.approx(0.2276, abs=1e-3)
