@@ -382,9 +382,36 @@ def build_decomp_step(sim, dec: Decomp):
     return jax.jit(fn)
 
 
-def run_decomp(sim, dec: Decomp, start_tstep: int = 0, callback=None):
-    """run! over a domain decomposition (the distributed analog of
-    simulation.run, mirroring timestep_sim!'s process order,
+def _dec_ndev(dec) -> int:
+    """Total device count of a 1-D Decomp or 2-D Decomp2D."""
+    return dec.n_dev if isinstance(dec, Decomp) else dec.dx_dev * dec.dy_dev
+
+
+def _dec_build(sim, dec):
+    if isinstance(dec, Decomp):
+        return build_decomp_step(sim, dec)
+    return build_decomp_step_2d(sim, dec)
+
+
+def _dec_distribute(floes: FloeState, domain: Domain, dec) -> FloeState:
+    if isinstance(dec, Decomp):
+        return distribute(floes, domain, dec)
+    return distribute_2d(floes, domain, dec)
+
+
+def _dec_grow(dec):
+    """The same decomposition with doubled per-device capacities (used when
+    fracture/welding grow a slab past local_cap)."""
+    return dataclasses.replace(
+        dec, local_cap=2 * dec.local_cap, halo_cap=2 * dec.halo_cap,
+        mig_cap=2 * dec.mig_cap,
+    )
+
+
+def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
+    """run! over a 1-D (``Decomp``) or 2-D (``Decomp2D``) domain
+    decomposition (the distributed analog of simulation.run, mirroring
+    timestep_sim!'s process order,
     /root/reference/src/simulation_components/simulation.jl:94-220).
 
     Per step the jitted shard_map program advances the distributed pool;
@@ -403,9 +430,9 @@ def run_decomp(sim, dec: Decomp, start_tstep: int = 0, callback=None):
     from ..simulation import _host_lifecycle_passes
 
     logger = SimulationLogger(sim.name)
-    step = build_decomp_step(sim, dec)
+    step = _dec_build(sim, dec)
     domain = sim.model.domain
-    floes_d = distribute(sim.model.floes, domain, dec)
+    floes_d = _dec_distribute(sim.model.floes, domain, dec)
     ocean = sim.model.ocean
     rng = np.random.default_rng(sim.seed)
     if sim.rng_state is not None:
@@ -415,7 +442,7 @@ def run_decomp(sim, dec: Decomp, start_tstep: int = 0, callback=None):
     # query's pair budget to keep the same per-floe row capacity
     host_sim = copy.copy(sim)
     row_cap = max(sim.pair_cap // max(sim.model.floes.capacity, 1), 8)
-    host_sim.pair_cap = row_cap * dec.n_dev * dec.local_cap
+    host_sim.pair_cap = row_cap * _dec_ndev(dec) * dec.local_cap
     host_sim.bins = None  # gathered pool is unsorted; dense broad phase
 
     def host_ops_due(tstep):
@@ -486,23 +513,19 @@ def run_decomp(sim, dec: Decomp, start_tstep: int = 0, callback=None):
                 host_sim, g, domain, tstep, rng, state, logger
             )
             try:
-                floes_d = distribute(g, domain, dec)
+                floes_d = _dec_distribute(g, domain, dec)
             except ValueError:
                 # fracture/welding grew a slab past local_cap: rebuild the
                 # decomposition with more headroom (rare recompile; the
                 # fixed-shape analog of the reference's growable arrays)
-                dec = Decomp(
-                    mesh=dec.mesh, axis=dec.axis, n_dev=dec.n_dev,
-                    local_cap=2 * dec.local_cap, halo_cap=2 * dec.halo_cap,
-                    mig_cap=2 * dec.mig_cap, margin=dec.margin,
-                )
+                dec = _dec_grow(dec)
                 logger.warn(
                     f"slab overflow: growing local_cap to {dec.local_cap} "
                     "and recompiling the decomposed step",
                     tstep,
                 )
-                step = build_decomp_step(sim, dec)
-                floes_d = distribute(g, domain, dec)
+                step = _dec_build(sim, dec)
+                floes_d = _dec_distribute(g, domain, dec)
         tstep += 1
     n_overflow += state.get("n_overflow", 0)
     if n_overflow:

