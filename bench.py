@@ -2,19 +2,23 @@
 """Benchmark: floe-pair contact interactions per second per chip.
 
 Headline metric from BASELINE.json: >= 1e6 floe-pair interactions/s/chip.
-Two configs are measured:
+Configs (reference-faithful physics: two-way coupling ON, matching
+/root/reference/examples/shear_flow.jl:35-38):
 
-  * shear_flow  - the reference's largest example scale (~500 floes,
+  * shear_flow_500  - the reference's largest example scale (~500 floes,
     51x51 grid, examples/shear_flow.jl), dense broad phase.
-  * many_floes  - a 4x larger field (~2000 floes, same floe sizes on a
-    2x domain), binned broad phase, showing throughput scales with pair
-    count.
+  * many_floes_2000 - a 4x larger field (~2000 floes, same floe sizes on a
+    2x domain), dense broad phase.
+  * many_floes_8000 - 16x the floes on a 4x domain, binned O(N*M) broad
+    phase (spatial 3x3-neighborhood candidate lists).
 
 Full physics steps (collisions + coupling at cadence + integration +
 removal) run under one jitted lax.scan on the default device; the metric
 counts broad-phase candidate pairs processed through the contact kernel.
+``detail`` carries a per-phase breakdown (collisions / coupling / other)
+measured by scan-timing the step with each phase toggled off.
 
-Prints ONE JSON line with the best config as the headline:
+Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": ...}
 """
 
@@ -24,7 +28,8 @@ import time
 import numpy as np
 
 
-def build_sim(n_floes, L, dx, seed=1):
+def build_sim(n_floes, L, dx, seed=1, two_way=True, bins=False,
+              coupling=True, collisions=True):
     import jax.numpy as jnp
 
     from subzero_tpu.constants import Constants
@@ -38,11 +43,12 @@ def build_sim(n_floes, L, dx, seed=1):
         make_ocean,
     )
     from subzero_tpu.settings import (
+        CollisionSettings,
         CouplingSettings,
         FloeSettings,
         SubGridPointsGenerator,
     )
-    from subzero_tpu.simulation import Simulation
+    from subzero_tpu.simulation import Simulation, _auto_bins
 
     dtype = jnp.float32
     grid = make_grid(0.0, L, 0.0, L, dx=dx, dy=dx)
@@ -66,14 +72,23 @@ def build_sim(n_floes, L, dx, seed=1):
     model = make_model(grid, ocean, atmos, domain, floes)
     area = np.asarray(floes.area)[np.asarray(floes.active)]
     modulus = 1.5e3 * (np.mean(np.sqrt(area)) + np.min(np.sqrt(area)))
-    return Simulation(
+    sim = Simulation(
         model=model,
         consts=Constants(E=float(modulus)),
         dt=20,
         n_dt=0,
         floe_settings=fs,
-        coupling_settings=CouplingSettings(two_way_coupling_on=False),
+        coupling_settings=CouplingSettings(
+            coupling_on=coupling, two_way_coupling_on=two_way
+        ),
+        collision_settings=CollisionSettings(collisions_on=collisions),
     )
+    if bins:
+        sim.bins = _auto_bins(model)
+        # dense contact graphs at this concentration need more per-floe
+        # candidate rows than the 8N default (tail rows exceed 8)
+        sim.pair_cap = 16 * model.floes.capacity
+    return sim
 
 
 def measure(sim, n_steps=50):
@@ -112,9 +127,11 @@ def measure(sim, n_steps=50):
     return {
         "pairs_per_s": pairs_per_step * steps_per_s,
         "steps_per_s": round(steps_per_s, 3),
+        "step_ms": round(1e3 / steps_per_s, 4),
         "pairs_per_step": pairs_per_step,
         "n_floes": int(fl.count()),
         "binned": sim.bins is not None,
+        "two_way_coupling": bool(sim.coupling_settings.two_way_coupling_on),
     }
 
 
@@ -122,16 +139,38 @@ def main():
     import jax
 
     configs = {
-        # the reference's largest example scale (shear_flow.jl)
-        "shear_flow_500": build_sim(500, 1e5, 2e3),
-        # 4x the floes at the same floe scale: binned broad phase
-        "many_floes_2000": build_sim(2000, 2e5, 2e3),
+        # reference's largest example scale, full shear_flow.jl physics
+        "shear_flow_500": dict(n=500, L=1e5, bins=False),
+        # 4x the floes at the same floe scale, dense broad phase
+        "many_floes_2000": dict(n=2000, L=2e5, bins=False),
+        # 16x the floes, binned O(N*M) broad phase
+        "many_floes_8000": dict(n=8000, L=4e5, bins=True),
     }
     detail = {"device": str(jax.devices()[0])}
     best_name, best = None, None
-    for name, sim in configs.items():
+    for name, cfg in configs.items():
+        sim = build_sim(cfg["n"], cfg["L"], 2e3, bins=cfg["bins"])
         r = measure(sim)
         r["pairs_per_s"] = round(r["pairs_per_s"], 1)
+        # per-phase breakdown by toggling phases off (scan-timed)
+        if name == "shear_flow_500":
+            no_cpl = measure(
+                build_sim(cfg["n"], cfg["L"], 2e3, bins=cfg["bins"],
+                          coupling=False)
+            )
+            no_col = measure(
+                build_sim(cfg["n"], cfg["L"], 2e3, bins=cfg["bins"],
+                          collisions=False)
+            )
+            col_ms = round(r["step_ms"] - no_col["step_ms"], 4)
+            cpl_ms = round(r["step_ms"] - no_cpl["step_ms"], 4)
+            r["phases_ms"] = {
+                "collisions": col_ms,
+                "coupling_amortized": cpl_ms,
+                "integrate_remove_other": round(
+                    r["step_ms"] - col_ms - cpl_ms, 4
+                ),
+            }
         detail[name] = r
         if best is None or r["pairs_per_s"] > best:
             best, best_name = r["pairs_per_s"], name
@@ -140,7 +179,7 @@ def main():
             {
                 "metric": (
                     "floe-pair interactions/s/chip "
-                    f"(full step, best config: {best_name})"
+                    f"(full step, two-way coupling on, best config: {best_name})"
                 ),
                 "value": best,
                 "unit": "pairs/s",

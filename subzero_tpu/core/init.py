@@ -56,17 +56,30 @@ def initialize_floe_field_coords(
     rng=None,
     **kwargs,
 ) -> FloeState:
-    """Floes from explicit polygon coordinates (floe.jl:361-411)."""
+    """Floes from explicit polygon coordinates (floe.jl:361-411).
+
+    Each entry of ``coords_list`` is either a single exterior ring or a
+    PolyVec-style [exterior, hole1, ...] list; polygons with holes are split
+    around each hole (poly_to_floes!, floe.jl:274-311: the host difference
+    cuts horizontally through a contained hole's centroid) so every
+    resulting floe is a simple polygon."""
     if rng is None:
         rng = np.random.default_rng(1)
     topo = _topo_rings(domain)
     pieces = []
     for c in coords_list:
-        c = np.asarray(c, float)
-        if c.ndim == 3:
-            c = c[0]
-        ring = host_clip._clean_ring(c)
-        parts = _subtract_topo([ring], topo)
+        try:
+            a = np.asarray(c, float)
+            rings = [a] if a.ndim == 2 else [np.asarray(r, float) for r in c]
+        except ValueError:  # ragged [exterior, hole...] list
+            rings = [np.asarray(r, float) for r in c]
+        parts = [host_clip._clean_ring(rings[0])]
+        for hole in rings[1:]:
+            hring = host_clip._clean_ring(hole)
+            parts = [
+                q for p in parts for q in host_clip.difference(p, hring)
+            ]
+        parts = _subtract_topo(parts, topo)
         for p in parts:
             if host_clip.poly_area_np(p) >= floe_settings.min_floe_area:
                 pieces.append(p)
@@ -76,9 +89,15 @@ def initialize_floe_field_coords(
 def voronoi_cells_in_box(seeds, box_lo, box_hi):
     """Convex Voronoi cells of seeds clipped to an axis-aligned box.
 
-    Built by successive half-plane clipping against perpendicular bisectors
-    - O(k^2) but setup-time only.
+    Built by successive half-plane clipping against perpendicular bisectors,
+    visiting neighbors in increasing-distance order with an early exit: once
+    every cell vertex lies within d_j / 2 of the seed, the bisector of any
+    seed at distance >= d_j cannot cut the cell, so the remaining seeds are
+    skipped.  Exact same cells as the naive O(k^2) sweep (skipped clips are
+    provably no-ops) but ~O(k * m) with m ~ 10-20 actual neighbors - the
+    naive version took hours at k = 8000.
     """
+    seeds = np.asarray(seeds, float)
     k = len(seeds)
     cells = []
     for i in range(k):
@@ -91,9 +110,16 @@ def voronoi_cells_in_box(seeds, box_lo, box_hi):
             ]
         )
         si = seeds[i]
-        for j in range(k):
-            if j == i or len(cell) < 3:
+        d = np.linalg.norm(seeds - si, axis=1)
+        order = np.argsort(d)
+        for j in order:
+            if j == i:
                 continue
+            if len(cell) < 3:
+                break
+            rmax2 = ((cell - si) ** 2).sum(axis=1).max()
+            if d[j] * d[j] >= 4.0 * rmax2:
+                break  # all later bisectors miss the cell
             sj = seeds[j]
             # keep points closer to si than sj: n.(x - m) <= 0 with
             # n = sj - si, m = midpoint

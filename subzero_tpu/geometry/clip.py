@@ -559,23 +559,44 @@ def two_cross_pass(pv, pn, qv, qn, perturb) -> TwoCrossResult:
     )
 
 
+def _use_pallas_narrow() -> bool:
+    """Route the 16-vertex narrow phase through the fused Pallas kernel on
+    TPU (geometry/pallas_clip.py); SUBZERO_PALLAS=0 forces the jnp path."""
+    import os
+
+    if os.environ.get("SUBZERO_PALLAS", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def two_cross_dispatch(pv, pn, qv, qn, perturb) -> TwoCrossResult:
     """two_cross_pass with a pool-level small-ring fast path.
 
     Floes typically carry far fewer vertices than the padded capacity
     (Voronoi floes ~6-12; the smoothing cap is 30).  When every ring in the
     batch fits in 16 vertices, the O(V*W*B) crossing sweep runs on the
-    first-16 slice - 4x less work at V=32.  ``lax.cond`` keeps a single
-    compiled program that adapts when fusing/welding grows rings past 16.
+    first-16 slice - 4x less work at V=32 - and, on TPU, inside the fused
+    Pallas kernel (VMEM-resident; the stock XLA lowering is HBM-bound).
+    ``lax.cond`` keeps a single compiled program that adapts when
+    fusing/welding grows rings past 16.
     """
     V = pv.shape[-2]
     W = qv.shape[-2]
+    if _use_pallas_narrow() and pv.dtype == jnp.float32:
+        from .pallas_clip import two_cross_pallas
+
+        small_fn = two_cross_pallas
+    else:
+        small_fn = two_cross_pass
     if V <= 16 and W <= 16:
-        return two_cross_pass(pv, pn, qv, qn, perturb)
+        return small_fn(pv, pn, qv, qn, perturb)
     small = (jnp.max(pn) <= 16) & (jnp.max(qn) <= 16)
     return jax.lax.cond(
         small,
-        lambda: two_cross_pass(pv[:, :16], pn, qv[:, :16], qn, perturb),
+        lambda: small_fn(pv[:, :16], pn, qv[:, :16], qn, perturb),
         lambda: two_cross_pass(pv, pn, qv, qn, perturb),
     )
 

@@ -179,6 +179,11 @@ def _boolean(Sc, Cc, op):
     nxtC = {k: orderC[(posC[k] + 1) % len(xs)] for k in range(len(xs))}
     prvC = {k: orderC[(posC[k] - 1) % len(xs)] for k in range(len(xs))}
 
+    if len(xs) % 2 == 1:
+        # odd crossing parity = an unresolved tangency; the successor
+        # permutation is ill-formed
+        raise _Degenerate("odd crossing count")
+
     regions = []
     visited = set()
     for start in range(len(xs)):
@@ -186,9 +191,16 @@ def _boolean(Sc, Cc, op):
             continue
         pts = []
         k = start
+        closed = False
         for _ in range(2 * len(xs) + 4):
             if k in visited and k == start and pts:
+                closed = True
                 break
+            if k in visited:
+                # walked into a previously traced cycle: the crossing
+                # pairing is inconsistent (near-tangent geometry); emitting
+                # the open chain would create a self-overlapping ring
+                raise _Degenerate("trace entered a visited crossing")
             visited.add(k)
             x = xs[k]
             pts.append(x["pt"])
@@ -215,12 +227,51 @@ def _boolean(Sc, Cc, op):
                     )
             k = k2
             if k == start:
+                closed = True
                 break
+        if not closed:
+            raise _Degenerate("region trace did not close")
         if len(pts) >= 3:
             ring = _clean_ring(np.asarray(pts))
             if len(ring) >= 3 and poly_area_np(ring) > 1e-12:
+                if not _is_simple_ring(ring):
+                    # near-coincident crossings (e.g. a crossing within eps
+                    # of a corner) can mis-pair the successor walk into a
+                    # self-intersecting ring that still closes; retry with
+                    # a larger perturbation
+                    raise _Degenerate("self-intersecting output ring")
                 regions.append(ring)
     return regions
+
+
+def _is_simple_ring(ring):
+    """True iff the closed ring has no repeated (non-consecutive) vertices
+    and no two non-adjacent edges properly intersect (O(V^2) host check on
+    boolean outputs; catches both bowties and doubled cycles like
+    [A,B,C,D,A,B], whose coincident edges are collinear, not crossing)."""
+    r = np.asarray(ring, float)
+    n = len(r)
+    scale = max(1.0, np.abs(r).max())
+    for i in range(n):
+        for j in range(i + 1, n):
+            if np.abs(r[i] - r[j]).max() <= 1e-12 * scale:
+                return False
+    a = r
+    b = np.roll(r, -1, axis=0)
+    d = b - a
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent through the wrap
+            den = d[i, 0] * d[j, 1] - d[i, 1] * d[j, 0]
+            if den == 0:
+                continue
+            w = a[j] - a[i]
+            t = (w[0] * d[j, 1] - w[1] * d[j, 0]) / den
+            u = (w[0] * d[i, 1] - w[1] * d[i, 0]) / den
+            if 1e-12 < t < 1 - 1e-12 and 1e-12 < u < 1 - 1e-12:
+                return False
+    return True
 
 
 def _boolean_halfplane(S, hc, C):

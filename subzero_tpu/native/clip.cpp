@@ -264,13 +264,21 @@ std::vector<Ring> boolean_op(const Ring &Sc, const Ring &Cc, int op) {
     auto nxtC = [&](int k) { return orderC[(posC[k] + 1) % K]; };
     auto prvC = [&](int k) { return orderC[(posC[k] - 1 + K) % K]; };
 
+    // odd crossing parity = unresolved tangency: successor permutation is
+    // ill-formed (host_clip._boolean raises the same)
+    if (K % 2 == 1) throw Degenerate{};
+
     std::vector<bool> visited(K, false);
     for (int start = 0; start < K; ++start) {
         if (visited[start]) continue;
         Ring pts;
         int k = start;
+        bool closed = false;
         for (int guard = 0; guard < 2 * K + 4; ++guard) {
-            if (visited[k] && k == start && !pts.empty()) break;
+            if (visited[k] && k == start && !pts.empty()) { closed = true; break; }
+            // walking into a previously traced cycle would emit a
+            // self-overlapping open chain; flag for perturbation retry
+            if (visited[k]) throw Degenerate{};
             visited[k] = true;
             const Crossing &x = xs[k];
             pts.push_back(x.pt);
@@ -289,12 +297,44 @@ std::vector<Ring> boolean_op(const Ring &Sc, const Ring &Cc, int op) {
                 arc_points(C, x.ej, x.u, xs[k2].ej, xs[k2].u, true, pts);
             }
             k = k2;
-            if (k == start) break;
+            if (k == start) { closed = true; break; }
         }
+        if (!closed) throw Degenerate{};
         if (pts.size() >= 3) {
             Ring ring = clean_ring(pts);
-            if (ring.size() >= 3 && poly_area(ring) > 1e-12)
+            if (ring.size() >= 3 && poly_area(ring) > 1e-12) {
+                // mis-paired successor walks can close into a
+                // self-intersecting ring; flag for perturbation retry
+                // (host_clip._is_simple_ring)
+                const int n = (int)ring.size();
+                double rscale = 1.0;
+                for (const Pt &p : ring)
+                    rscale = std::max(rscale,
+                                      std::max(std::fabs(p.x), std::fabs(p.y)));
+                for (int i = 0; i < n; ++i)
+                    for (int j = i + 1; j < n; ++j)
+                        if (std::fabs(ring[i].x - ring[j].x) <= 1e-12 * rscale &&
+                            std::fabs(ring[i].y - ring[j].y) <= 1e-12 * rscale)
+                            throw Degenerate{};
+                for (int i = 0; i < n; ++i) {
+                    const Pt &ai = ring[i], &bi = ring[(i + 1) % n];
+                    const double dix = bi.x - ai.x, diy = bi.y - ai.y;
+                    for (int j = i + 2; j < n; ++j) {
+                        if (i == 0 && j == n - 1) continue;
+                        const Pt &aj = ring[j], &bj = ring[(j + 1) % n];
+                        const double djx = bj.x - aj.x, djy = bj.y - aj.y;
+                        const double den = dix * djy - diy * djx;
+                        if (den == 0.0) continue;
+                        const double wx = aj.x - ai.x, wy = aj.y - ai.y;
+                        const double t = (wx * djy - wy * djx) / den;
+                        const double u = (wx * diy - wy * dix) / den;
+                        if (t > 1e-12 && t < 1.0 - 1e-12 &&
+                            u > 1e-12 && u < 1.0 - 1e-12)
+                            throw Degenerate{};
+                    }
+                }
                 regions.push_back(std::move(ring));
+            }
         }
     }
     return regions;

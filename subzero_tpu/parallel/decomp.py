@@ -32,7 +32,9 @@ grow with the whole pool.
 
 from __future__ import annotations
 
+import copy
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -165,6 +167,42 @@ def distribute(floes: FloeState, domain: Domain, dec: Decomp) -> FloeState:
 def gather(floes_dist: FloeState) -> FloeState:
     """Bring a distributed pool back to host as one (unordered) global pool."""
     return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), floes_dist)
+
+
+@partial(jax.jit, static_argnames=("host_cap",))
+def _compact_active(floes_dist: FloeState, host_cap: int):
+    """Device-side compaction of active rows into a [host_cap] pool.
+
+    The lifecycle host passes only touch active floes, so gathering the full
+    [D * local_cap] padded pool wastes device->host traffic proportional to
+    the per-device headroom x device count; this keeps the transfer O(number
+    of active floes).  Invalid rows are zeroed (fuse_with reset to -1) so
+    they are safe free slots for fracture/weld piece appends.  Returns
+    (compact_pool, overflow) - overflow means host_cap must grow."""
+    N = floes_dist.capacity
+    mask = floes_dist.active
+    (sel,) = jnp.nonzero(mask, size=host_cap, fill_value=N)
+    valid = sel < N
+    safe = jnp.minimum(sel, N - 1)
+
+    def take(a):
+        v = valid.reshape((host_cap,) + (1,) * (a.ndim - 1))
+        return jnp.where(v, a[safe], jnp.zeros_like(a[safe]))
+
+    out = jax.tree.map(take, floes_dist)
+    out = out._replace(
+        active=out.active & valid,
+        fuse_with=jnp.where(valid, out.fuse_with, -1),
+    )
+    overflow = jnp.sum(mask.astype(jnp.int32)) > host_cap
+    return out, overflow
+
+
+def gather_active(floes_dist: FloeState, host_cap: int):
+    """gather() restricted to active rows: compact on device, then pull the
+    [host_cap] pool to host.  Returns (pool, overflow)."""
+    out, overflow = _compact_active(floes_dist, host_cap)
+    return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), out), bool(overflow)
 
 
 def _pack(floes: FloeState, mask, cap: int, fields):
@@ -315,12 +353,13 @@ def build_decomp_step(sim, dec: Decomp):
                         jnp.zeros((), ocean_.tau_x.dtype), axis
                     )
                     ocean_ = ocean_._replace(tau_x=ocean_.tau_x + zero)
-                return floes_, ocean_
+                return floes_, ocean_, jnp.asarray(False)
 
-            floes, ocean = jax.lax.cond(
+            floes, ocean, cp_overflow = jax.lax.cond(
                 jnp.mod(tstep, cps.dt) == 0, do_coupling, skip_coupling,
                 (floes, ocean),
             )
+            overflow = overflow | cp_overflow
 
         # ---- 4. integrate + periodic wrap ---------------------------------
         floes = _update_floe.timestep_floe_properties(
@@ -424,8 +463,6 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
 
     Returns ``sim`` with its model holding the final gathered pool.
     """
-    import copy
-
     from ..io.logger import SimulationLogger
     from ..simulation import _host_lifecycle_passes
 
@@ -438,11 +475,11 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
     if sim.rng_state is not None:
         rng.bit_generator.state = sim.rng_state
     state = {"max_floe_id": int(jnp.max(sim.model.floes.id))}
-    # the gathered pool has capacity D * local_cap: scale the host overlap
-    # query's pair budget to keep the same per-floe row capacity
+    # the gathered pool has capacity D * local_cap: the host overlap query's
+    # pair budget is set (as row_cap * gathered capacity) right before each
+    # _host_lifecycle_passes call, since _dec_grow can change the capacity
     host_sim = copy.copy(sim)
     row_cap = max(sim.pair_cap // max(sim.model.floes.capacity, 1), 8)
-    host_sim.pair_cap = row_cap * _dec_ndev(dec) * dec.local_cap
     host_sim.bins = None  # gathered pool is unsorted; dense broad phase
 
     def host_ops_due(tstep):
@@ -477,6 +514,27 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
 
     has_collision_fusing = sim.collision_settings.collisions_on
     n_overflow = 0
+    # lifecycle gathers pull only active rows (device-side compaction keeps
+    # the device->host transfer O(active), not O(devices * local_cap)).
+    # host_cap tracks the live active count with enough headroom for one
+    # full fracture pass (npieces per floe) + welding/ridge pieces; it is
+    # sticky (only grows) so the compaction kernel recompiles O(log growth)
+    # times over a run.
+    fr_np = (
+        sim.fracture_settings.npieces
+        if sim.fracture_settings.fractures_on
+        else 1
+    )
+    headroom = fr_np + 1
+
+    def _host_cap_for(n_act, cur=0):
+        # NOT capped at the distributed capacity: the host pool must hold
+        # originals + freshly fractured pieces before _dec_distribute
+        # rebalances (and _dec_grow grows the slabs if needed)
+        want = ((headroom * n_act + 64 + 63) // 64) * 64
+        return max(want, cur, 128)
+
+    host_cap = _host_cap_for(int(jnp.sum(sim.model.floes.active)))
     tstep = start_tstep
     while tstep <= start_tstep + sim.n_dt:
         if sim.verbose and tstep % 50 == 0:
@@ -507,7 +565,13 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
             has_collision_fusing and bool(jnp.any(floes_d.fuse_with >= 0))
         )
         if need_host:
-            g = gather(floes_d)
+            host_cap = _host_cap_for(
+                int(jnp.sum(floes_d.active)), cur=host_cap
+            )
+            g, hc_over = gather_active(floes_d, host_cap)
+            while hc_over:
+                host_cap = 2 * host_cap
+                g, hc_over = gather_active(floes_d, host_cap)
             host_sim.pair_cap = row_cap * g.capacity
             g = _host_lifecycle_passes(
                 host_sim, g, domain, tstep, rng, state, logger
@@ -523,6 +587,16 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
                     f"slab overflow: growing local_cap to {dec.local_cap} "
                     "and recompiling the decomposed step",
                     tstep,
+                )
+                # welding/fusing may also have grown floes past the two-way
+                # window sizing; recompute cell_cap from the current pool
+                # while we are recompiling anyway (otherwise the coupling
+                # overflow flag would fire every step until a restart)
+                rmax_now = float(jnp.max(jnp.where(g.active, g.rmax, 0.0)))
+                gr = sim.model.grid
+                cap = int(2 * np.ceil(1.5 * rmax_now / min(gr.dx, gr.dy)) + 3)
+                sim.cell_cap = max(
+                    sim.cell_cap, min(cap, max(gr.Nx, gr.Ny) + 1)
                 )
                 step = _dec_build(sim, dec)
                 floes_d = _dec_distribute(g, domain, dec)
@@ -865,12 +939,13 @@ def build_decomp_step_2d(sim, dec: Decomp2D):
                         jnp.zeros((), ocean_.tau_x.dtype), ("x", "y")
                     )
                     ocean_ = ocean_._replace(tau_x=ocean_.tau_x + zero)
-                return floes_, ocean_
+                return floes_, ocean_, jnp.asarray(False)
 
-            floes, ocean = jax.lax.cond(
+            floes, ocean, cp_overflow = jax.lax.cond(
                 jnp.mod(tstep, cps.dt) == 0, do_coupling, skip_coupling,
                 (floes, ocean),
             )
+            overflow = overflow | cp_overflow
 
         # ---- integrate + wrap + removal -----------------------------------
         floes = _update_floe.timestep_floe_properties(

@@ -233,14 +233,12 @@ def _find_candidate_pairs_binned(
     iby = jnp.clip(jnp.floor((c[:, 1] - s_val) / by).astype(jnp.int32), 0, nby - 1)
     NB = nbx * nby
     bin_id = jnp.where(act, ibx * nby + iby, NB)
-    counts = jax.ops.segment_sum(
-        jnp.ones((N,), jnp.int32), bin_id, num_segments=NB + 1
-    )[:NB]
-    offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
-    )
-    order = jnp.argsort(bin_id)  # active floes first, grouped by bin
-    bin_overflow = jnp.max(counts) > M
+    # per-bin member lists via the rank-select (top_k) machinery - the
+    # earlier argsort + segment_sum-offset formulation faulted the TPU
+    # runtime under lax.scan; top_k over the [NB, N] membership matrix is a
+    # single well-supported fused op
+    member = bin_id[None, :] == jnp.arange(NB, dtype=bin_id.dtype)[:, None]
+    mem_sel, mem_valid, bin_overflow = _rank_select_rows(member, M)  # [NB, M]
 
     # 3x3 neighbor bins
     offs = jnp.asarray([-1, 0, 1])
@@ -261,16 +259,22 @@ def _find_candidate_pairs_binned(
     nb_id = (nx_idx * nby + ny_idx).reshape(N, 9)
     nb_ok = (nx_ok & ny_ok).reshape(N, 9)
 
-    start = offsets[nb_id]            # [N,9]
-    cnt = counts[nb_id]               # [N,9]
-    kk = jnp.arange(M)
-    slot_ok = kk[None, None, :] < cnt[:, :, None]        # [N,9,M]
-    j_cand = order[jnp.minimum(start[:, :, None] + kk[None, None, :], N - 1)]
+    # Candidate data comes from small per-bin tables gathered as whole
+    # M-rows ([N, 9] row-block gathers), NOT per-element gathers through
+    # j_cand ([N, 9, M] random gathers serialize on TPU and dominated the
+    # binned step).  mem_sel == N marks empty slots.
+    mem_safe = jnp.minimum(mem_sel, N - 1)
+    cm = jnp.where(mem_valid[..., None], c[mem_safe], 0.0)     # [NB, M, 2]
+    rm = jnp.where(mem_valid, r[mem_safe], 0.0)                # [NB, M]
+    slot_ok = mem_valid[nb_id]                       # [N,9,M]  (row gather)
+    j_cand = jnp.minimum(mem_sel[nb_id], N - 1)      # [N,9,M]  (row gather)
+    c_cand = cm[nb_id]                               # [N,9,M,2](row gather)
+    r_cand = rm[nb_id]                               # [N,9,M]  (row gather)
     iidx = jnp.arange(N)[:, None, None]
 
     # min-image fold + circle test (identical physics to the dense path)
-    dx = c[:, 0][:, None, None] - c[j_cand, 0]
-    dy = c[:, 1][:, None, None] - c[j_cand, 1]
+    dx = c[:, 0][:, None, None] - c_cand[..., 0]
+    dy = c[:, 1][:, None, None] - c_cand[..., 1]
     sx = jnp.zeros_like(dx)
     sy = jnp.zeros_like(dy)
     if domain.ew_periodic:
@@ -281,13 +285,13 @@ def _find_candidate_pairs_binned(
         fold = jnp.abs(dy) > Ly / 2
         sy = jnp.where(fold, jnp.sign(dy) * Ly, 0.0)
         dy = dy - sy
-    rsum = r[:, None, None] + r[j_cand]
+    rsum = r[:, None, None] + r_cand
     mask = (
         nb_ok[:, :, None]
         & slot_ok
         & act[:, None, None]
-        & act[j_cand]
-        # balanced pair ownership by (i+j) parity (see dense variant)
+        # balanced pair ownership by (i+j) parity (see dense variant);
+        # members are active by construction (inactive bin_id -> NB)
         & ((((iidx + j_cand) % 2) == 0) == (iidx < j_cand))
         & (iidx != j_cand)
         & (dx * dx + dy * dy < rsum * rsum)
@@ -452,9 +456,13 @@ def pair_interactions(
       overlap [K]  region overlap area (column 7)
       valid [K]    row validity mask
       overflow []  capacity-truncation flag
-    Rows are one-directional (each unordered pair appears once, owned by
-    one side); mirror with force negation for the reference's two-sided
-    bookkeeping.
+    Rows are two-sided for floe-floe contacts, exactly like the reference's
+    bookkeeping (add_interactions! on both floes + the reaction pass,
+    collisions.jl:285-309, 799-828): each unordered pair emits the owner's
+    row AND the partner's mirror row (negated force, force point shifted to
+    the partner's periodic frame, torque about the partner's centroid), so
+    per-floe ``num_inters`` counts match output.jl:558-572.  Wall/topography
+    contacts emit one row (the domain keeps no interaction list).
     """
     N = floes.capacity
     V = floes.max_verts
@@ -539,29 +547,36 @@ def pair_interactions(
             j < N, j, jnp.where(j < N + 4, -(j - N) - 1, -(j - N - 4) - 5)
         )
 
-    def rows(i, j, cent_i, force, fp, rec, base_valid):
+    def rows(i, j, s, force, fp, rec, base_valid, shift):
         R = force.shape[1]
-        ri_ = fp - cent_i[:, None, :]
+        ri_ = fp - s.cent_i[:, None, :]
         trq = ri_[..., 0] * force[..., 1] - ri_[..., 1] * force[..., 0]
         nonzero = jnp.sum(jnp.abs(force), axis=-1) > 0
         out_valid = base_valid[:, None] & nonzero
         tile = lambda x: jnp.broadcast_to(
             x[:, None], (x.shape[0], R)
         ).reshape(-1)
+        # partner-side mirror rows (floe-floe only): force point moved to
+        # the partner's unshifted periodic frame, torque about its centroid
+        fp_j = fp - shift[:, None, :]
+        rj_ = fp_j - s.cent_j[:, None, :]
+        trq_j = rj_[..., 0] * (-force[..., 1]) - rj_[..., 1] * (-force[..., 0])
+        m_valid = out_valid & s.is_floe_j[:, None]
+        cat = jnp.concatenate
         return {
-            "i": tile(i),
-            "j": tile(enc(j)),
-            "fx": force[..., 0].reshape(-1),
-            "fy": force[..., 1].reshape(-1),
-            "px": fp[..., 0].reshape(-1),
-            "py": fp[..., 1].reshape(-1),
-            "torque": trq.reshape(-1),
-            "overlap": rec.reshape(-1),
-            "valid": out_valid.reshape(-1),
+            "i": cat([tile(i), tile(j)]),
+            "j": cat([tile(enc(j)), tile(i)]),
+            "fx": cat([force[..., 0].reshape(-1), -force[..., 0].reshape(-1)]),
+            "fy": cat([force[..., 1].reshape(-1), -force[..., 1].reshape(-1)]),
+            "px": cat([fp[..., 0].reshape(-1), fp_j[..., 0].reshape(-1)]),
+            "py": cat([fp[..., 1].reshape(-1), fp_j[..., 1].reshape(-1)]),
+            "torque": cat([trq.reshape(-1), trq_j.reshape(-1)]),
+            "overlap": cat([rec.reshape(-1), rec.reshape(-1)]),
+            "valid": cat([out_valid.reshape(-1), m_valid.reshape(-1)]),
         }
 
-    rf = rows(i0, j0, sides0.cent_i, f_force, f_fp, f_rec, fast_ok)
-    rs = rows(i1, j1, sides1.cent_i, s_force, s_fp, s_rec, svalid)
+    rf = rows(i0, j0, sides0, f_force, f_fp, f_rec, fast_ok, pairs.shift)
+    rs = rows(i1, j1, sides1, s_force, s_fp, s_rec, svalid, shift1)
     out = {k: jnp.concatenate([rf[k], rs[k]]) for k in rf}
     out["overflow"] = (
         pairs.overflow

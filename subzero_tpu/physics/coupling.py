@@ -211,7 +211,7 @@ def calc_two_way_coupling(
     dt: float,
     cell_cap: int,
     axis_name: str | None = None,
-) -> OceanState:
+):
     """Ice/atmosphere effect on the ocean (coupling.jl:1617-1680).
 
     cell_cap: static max number of line-centered cells a floe can cover in
@@ -219,6 +219,13 @@ def calc_two_way_coupling(
     axis_name: when running inside shard_map with the floe pool sharded over
     a device mesh axis, per-cell sums from local floes are psum-reduced over
     that axis so the resulting ocean state is replicated-consistent.
+
+    Returns (ocean, overflow): ``overflow`` fires when any valid subfloe
+    point of a floe falls outside that floe's cell_cap x cell_cap window -
+    its stress deposition would be silently lost (the reference's
+    CellStresses accumulates every point, coupling.jl:1329-1384), so the
+    caller must surface it and cell_cap must be raised (floes can outgrow
+    the initial sizing through welding/fusing).
     """
     floes = one_way.floes
     N, P = one_way.pt_x.shape
@@ -242,17 +249,33 @@ def calc_two_way_coupling(
     kx = pxi - (cx0[:, None] - half)
     ky = pyi - (cy0[:, None] - half)
     in_win = (kx >= 0) & (kx < cell_cap) & (ky >= 0) & (ky < cell_cap)
+    win_overflow = jnp.any(one_way.pt_mask & ~in_win)
     wmask = one_way.pt_mask & in_win
     CW = cell_cap * cell_cap
-    wkey = jnp.where(
-        wmask, jnp.arange(N)[:, None] * CW + kx * cell_cap + ky, N * CW
-    ).reshape(-1)
-    segw = lambda x: jax.ops.segment_sum(
-        x.reshape(-1), wkey, num_segments=N * CW + 1
-    )[: N * CW].reshape(N, cell_cap, cell_cap)
-    tx_pair = segw(jnp.where(wmask, -one_way.pt_tau_x_ocn, 0.0))
-    ty_pair = segw(jnp.where(wmask, -one_way.pt_tau_y_ocn, 0.0))
-    np_pair = segw(wmask.astype(one_way.pt_x.dtype))
+    # per-(floe, window-cell) deposition as a batched one-hot contraction
+    # ([N, CW, P] x [N, P, 3] on the MXU) - a segment_sum here serializes on
+    # TPU (CellStresses' add_point!, oceans.jl:4-8, coupling.jl:1329-1384)
+    dtypef = one_way.pt_x.dtype
+    wk = jnp.where(wmask, kx * cell_cap + ky, CW)
+    onehot = (
+        wk[:, :, None] == jnp.arange(CW, dtype=wk.dtype)[None, None, :]
+    ).astype(dtypef)  # [N, P, CW]
+    payload = jnp.stack(
+        [
+            jnp.where(wmask, -one_way.pt_tau_x_ocn, 0.0),
+            jnp.where(wmask, -one_way.pt_tau_y_ocn, 0.0),
+            wmask.astype(dtypef),
+        ],
+        axis=-1,
+    )  # [N, P, 3]
+    sums = jax.lax.dot_general(
+        onehot, payload, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=dtypef,
+    )  # [N, CW, 3]
+    sums = sums.reshape(N, cell_cap, cell_cap, 3)
+    tx_pair = sums[..., 0]
+    ty_pair = sums[..., 1]
+    np_pair = sums[..., 2]
     np_pair_safe = jnp.where(np_pair > 0, np_pair, 1.0)
     wx = cx0[:, None] + offs[None, :]      # [N, cap]
     wy = cy0[:, None] + offs[None, :]
@@ -308,9 +331,24 @@ def calc_two_way_coupling(
     iy_u = jnp.broadcast_to(wy[:, None, :], (N, cell_cap, cell_cap))
     xmin, xmax, ymin, ymax = cell_rect(ix_u, iy_u)
 
-    area_in_cell = _clip_area_to_rects(
-        floes.verts, floes.nverts, xmin, xmax, ymin, ymax, pair_ok
-    )  # [N, cap, cap]
+    # pool-level small-ring fast path (same trick as two_cross_dispatch):
+    # Voronoi floes carry ~6-12 vertices vs the 32-slot padding; run the
+    # edge sweep on the first-16 slice when every ring fits
+    if V > 16:
+        area_in_cell = jax.lax.cond(
+            jnp.max(jnp.where(floes.active, floes.nverts, 0)) <= 16,
+            lambda: _clip_area_to_rects(
+                floes.verts[:, :16], floes.nverts, xmin, xmax, ymin, ymax,
+                pair_ok,
+            ),
+            lambda: _clip_area_to_rects(
+                floes.verts, floes.nverts, xmin, xmax, ymin, ymax, pair_ok
+            ),
+        )
+    else:
+        area_in_cell = _clip_area_to_rects(
+            floes.verts, floes.nverts, xmin, xmax, ymin, ymax, pair_ok
+        )  # [N, cap, cap]
 
     # shifted cell indices for the final per-cell reduction
     ixs = jnp.broadcast_to(wxs[:, :, None], (N, cell_cap, cell_cap))
@@ -357,81 +395,91 @@ def calc_two_way_coupling(
     # heatflux factor (coupling.jl:1676-1677)
     hflx = dt * consts.k / (floe_settings.rho_i * consts.L) * (ocean.temp - atmos.temp)
 
-    return ocean._replace(
+    ocean = ocean._replace(
         tau_x=tau_x.astype(ocean.tau_x.dtype),
         tau_y=tau_y.astype(ocean.tau_y.dtype),
         si_frac=si_frac.astype(ocean.si_frac.dtype),
         hflx_factor=hflx.astype(ocean.hflx_factor.dtype),
     )
+    return ocean, win_overflow
 
 
 def _clip_area_to_rects(verts, nverts, xmin, xmax, ymin, ymax, ok):
     """Area of each floe polygon inside each axis-aligned rect.
 
     verts [N,V,2], nverts [N]; rect bounds and ok mask are [N, a, b].
-    Successive Sutherland-Hodgman half-plane clipping (exact area; the output
-    ring may contain degenerate bridges for non-convex floes, which do not
-    affect the area integral).
+
+    Closed-form clamped-image shoelace (replaces a Sutherland-Hodgman
+    formulation whose per-half-plane argsort compaction was ~1 s for the
+    500-floe x 15x15-window batch on TPU): the ring's continuous image under
+    the retraction (x, y) -> (clamp(x, x0, x1), clamp(y, y0, y1)) traverses
+    the boundary of P intersect B plus zero-area runs along the box edges,
+    so its signed area IS area(P intersect B).  Each polygon edge's image is
+    a <= 5-segment polyline bent where x(t)/y(t) cross the four box lines;
+    since any point clamp(p(t)) lies on that polyline at parameter t,
+    inserting the four (sorted, clamped-to-[0,1]) crossing parameters as
+    vertices is exact even when a crossing does not occur.  Everything is
+    elementwise - no sorts (beyond a 4-value min/max network), gathers, or
+    compaction - so the whole [N, a, b, V] batch is one fused VPU pass.
     """
     N, V, _ = verts.shape
+    A, B = xmin.shape[1], xmin.shape[2]
+    C = A * B
+    dtype = verts.dtype
 
-    # Clip against 4 half-planes with a fixed output capacity of V + 4
-    # vertices.
-    V2 = V + 4
+    # closed-ring edges per floe: [N, V]
+    ex1 = verts[..., 0]
+    ey1 = verts[..., 1]
+    idx = jnp.arange(V)
+    nsafe = jnp.maximum(nverts, 1)
+    wrap = idx[None, :] == (nsafe[:, None] - 1)
+    ex2 = jnp.where(wrap, ex1[:, 0:1], jnp.roll(ex1, -1, axis=1))
+    ey2 = jnp.where(wrap, ey1[:, 0:1], jnp.roll(ey1, -1, axis=1))
+    em = (idx[None, :] < nverts[:, None]).astype(dtype)
 
-    def one(pv, pn, x0_, x1_, y0_, y1_):
-        ring = jnp.concatenate([pv, jnp.broadcast_to(pv[-1:], (V2 - V, 2))], axis=0)
-        cnt = pn
+    # broadcast layout [N, V, C]: edges in sublanes, cells in lanes
+    x1 = ex1[:, :, None]
+    y1 = ey1[:, :, None]
+    x2 = ex2[:, :, None]
+    y2 = ey2[:, :, None]
+    x0c = xmin.reshape(N, 1, C)
+    x1c = xmax.reshape(N, 1, C)
+    y0c = ymin.reshape(N, 1, C)
+    y1c = ymax.reshape(N, 1, C)
 
-        def clip(ring, cnt, nx, ny, c):
-            # keep nx*x + ny*y <= c
-            idx = jnp.arange(V2)
-            valid = idx < cnt
-            last = jnp.maximum(cnt - 1, 0)
-            nxt = jnp.where(idx == cnt - 1, 0, jnp.minimum(idx + 1, last))
-            p1 = ring
-            p2 = ring[nxt]
-            d1 = nx * p1[:, 0] + ny * p1[:, 1] - c
-            d2 = nx * p2[:, 0] + ny * p2[:, 1] - c
-            keep1 = valid & (d1 <= 0)
-            cross = valid & ((d1 < 0) != (d2 < 0))
-            t = d1 / jnp.where(d1 == d2, 1.0, d1 - d2)
-            pint = p1 + t[:, None] * (p2 - p1)
-            # output: for each input vertex emit up to 2 points
-            out_pts = jnp.stack([p1, pint], axis=1).reshape(-1, 2)  # [2*V2, 2]
-            emit = jnp.stack([keep1, cross], axis=1).reshape(-1)
-            # compact via sort by (not emit, original order)
-            order = jnp.argsort(~emit, stable=True)
-            out_pts = out_pts[order][:V2]
-            emit_sorted = emit[order][:V2]
-            new_cnt = jnp.sum(emit.astype(jnp.int32))
-            # pad tail with last valid point
-            lastp = out_pts[jnp.maximum(new_cnt - 1, 0)]
-            out_pts = jnp.where(emit_sorted[:, None], out_pts, lastp)
-            return out_pts, new_cnt
+    dx = x2 - x1
+    dy = y2 - y1
+    dxs = jnp.where(dx == 0, 1.0, dx)
+    dys = jnp.where(dy == 0, 1.0, dy)
+    ta = jnp.clip((x0c - x1) / dxs, 0.0, 1.0)
+    tb = jnp.clip((x1c - x1) / dxs, 0.0, 1.0)
+    tc = jnp.clip((y0c - y1) / dys, 0.0, 1.0)
+    td = jnp.clip((y1c - y1) / dys, 0.0, 1.0)
+    # 4-value sort network
+    lo1, hi1 = jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+    lo2, hi2 = jnp.minimum(tc, td), jnp.maximum(tc, td)
+    t1 = jnp.minimum(lo1, lo2)
+    t4 = jnp.maximum(hi1, hi2)
+    m1, m2 = jnp.maximum(lo1, lo2), jnp.minimum(hi1, hi2)
+    t2 = jnp.minimum(m1, m2)
+    t3 = jnp.maximum(m1, m2)
 
-        ring, cnt = clip(ring, cnt, 1.0, 0.0, x1_)    # x <= xmax
-        ring, cnt = clip(ring, cnt, -1.0, 0.0, -x0_)  # x >= xmin
-        ring, cnt = clip(ring, cnt, 0.0, 1.0, y1_)    # y <= ymax
-        ring, cnt = clip(ring, cnt, 0.0, -1.0, -y0_)  # y >= ymin
-        # shoelace area
-        idx = jnp.arange(V2)
-        valid = idx < cnt
-        last = jnp.maximum(cnt - 1, 0)
-        nxt = jnp.where(idx == cnt - 1, 0, jnp.minimum(idx + 1, last))
-        p1 = ring
-        p2 = ring[nxt]
-        cr = p1[:, 0] * p2[:, 1] - p2[:, 0] * p1[:, 1]
-        return 0.5 * jnp.sum(jnp.where(valid & (cnt >= 3), cr, 0.0))
+    def pt(t):
+        px = jnp.clip(x1 + t * dx, x0c, x1c)
+        py = jnp.clip(y1 + t * dy, y0c, y1c)
+        return px, py
 
-    f = jax.vmap(
-        jax.vmap(
-            jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0)),
-            in_axes=(None, None, 0, 0, 0, 0),
-        ),
-        in_axes=(0, 0, 0, 0, 0, 0),
-    )
-    area = f(verts, nverts, xmin, xmax, ymin, ymax)
+    zero = jnp.zeros_like(t1)
+    one_ = jnp.ones_like(t1)
+    acc = None
+    prev = pt(zero)
+    for t in (t1, t2, t3, t4, one_):
+        cur = pt(t)
+        cr = prev[0] * cur[1] - cur[0] * prev[1]
+        acc = cr if acc is None else acc + cr
+        prev = cur
+    area = 0.5 * jnp.sum(acc * em[:, :, None], axis=1)  # [N, C]
+    area = area.reshape(N, A, B)
     return jnp.where(ok, jnp.abs(area), 0.0)
 
 
@@ -448,11 +496,16 @@ def timestep_coupling(
     cell_cap: int = 16,
     axis_name: str | None = None,
 ):
-    """timestep_coupling! (coupling.jl:1705-1738)."""
+    """timestep_coupling! (coupling.jl:1705-1738).
+
+    Returns (floes, ocean, overflow); overflow fires when two-way stress
+    deposition was truncated by the cell_cap window (see
+    calc_two_way_coupling)."""
     ow = calc_one_way_coupling(floes, grid, domain, ocean, atmos, consts)
+    overflow = jnp.asarray(False)
     if coupling_settings.two_way_coupling_on:
-        ocean = calc_two_way_coupling(
+        ocean, overflow = calc_two_way_coupling(
             ow, grid, domain, ocean, atmos, consts, floe_settings, dt,
             cell_cap, axis_name,
         )
-    return ow.floes, ocean
+    return ow.floes, ocean, overflow

@@ -577,20 +577,52 @@ def smooth_floes(
         conserve_momentum_change_floe_shape(
             f["mass"][i], moment_tmp, x_tmp, y_tmp, dt, hf, i
         )
-        # post-smoothing overlap check against bounding-circle neighbors
-        for j in np.nonzero(f["active"] & ~f["remove"])[0]:
-            if j == i:
-                continue
-            dc = f["centroid"][i] - f["centroid"][j]
-            if (dc @ dc) >= (f["rmax"][i] + f["rmax"][j]) ** 2:
-                continue
-            inter = sum(
-                poly_area_np(p)
-                for p in host_clip.intersect(hf.ring(i), hf.ring(j))
-            )
-            if inter / f["area"][j] > max_overlap_frac:
-                f["fuse_with"][i] = j
+        # post-smoothing overlap check against bounding-circle neighbors:
+        # numpy circle prefilter + one batched native boolean call per
+        # smoothed floe (simplification.jl:99-118) - no O(N) Python loop
+        cand = f["active"] & ~f["remove"]
+        cand[i] = False
+        dc = f["centroid"] - f["centroid"][i]
+        cand &= (dc * dc).sum(axis=1) < (f["rmax"] + f["rmax"][i]) ** 2
+        js = np.nonzero(cand)[0]
+        if len(js):
+            inter = _pair_inter_areas(hf, np.full(len(js), i), js)
+            over_j = np.nonzero(inter / f["area"][js] > max_overlap_frac)[0]
+            if len(over_j):
+                f["fuse_with"][i] = js[over_j[-1]]  # last partner wins
     return hf.to_state()
+
+
+def _pair_inter_areas(hf: HostFloes, ia, ja):
+    """Intersection areas for floe index pairs of a host pool.
+
+    One batched call into the native C++ kernel
+    (native.pairwise_intersect_area) when available; pairs the native kernel
+    flags as unresolvably degenerate (-1), and the whole batch when the
+    library is absent, fall back to the per-pair host booleans.  This is
+    what keeps the welding / smooth-overlap host passes free of per-pair
+    Python boolean calls (welding.jl:136-142, simplification.jl:99-118)."""
+    ia = np.asarray(ia, np.int32)
+    ja = np.asarray(ja, np.int32)
+    if len(ia) == 0:
+        return np.zeros((0,), float)
+    from .. import native
+
+    res = native.pairwise_intersect_area(
+        hf.fields["verts"], hf.fields["nverts"], ia, ja
+    )
+    if res is not None:
+        out = np.asarray(res, float)
+        bad = out < 0
+    else:
+        out = np.full((len(ia),), -1.0)
+        bad = np.ones((len(ia),), bool)
+    for k in np.nonzero(bad)[0]:
+        out[k] = sum(
+            poly_area_np(p)
+            for p in host_clip.intersect(hf.ring(int(ia[k])), hf.ring(int(ja[k])))
+        )
+    return out
 
 
 def _rdp(ring, tol):
@@ -656,6 +688,34 @@ def timestep_welding(
     prefuse = max_floe_id
     gainers = []  # deferred id assignment (welding.jl:169-180)
     for _, bin_list in bins.items():
+        # Batched precompute of candidate-pair intersection areas: one
+        # native boolean call per bin instead of one Python boolean per pair
+        # (welding.jl:136-142).  Pairs touched by a weld since the precompute
+        # ("dirty") are recomputed individually so results are identical to
+        # the lazy per-pair evaluation.
+        bl = np.asarray(bin_list, dtype=np.int64)
+        pre_ok = f["active"][bl] & (f["area"][bl] < weld_settings.max_weld_area)
+        blv = bl[pre_ok]
+        cache = {}
+        if len(blv) >= 2:
+            ci = f["centroid"][blv]
+            rr = f["rmax"][blv]
+            d2 = ((ci[:, None, :] - ci[None, :, :]) ** 2).sum(-1)
+            near = np.triu(d2 < (rr[:, None] + rr[None, :]) ** 2, k=1)
+            ii, jj = np.nonzero(near)
+            if len(ii):
+                vals = _pair_inter_areas(hf, blv[ii], blv[jj])
+                cache = {
+                    (int(a), int(b)): float(v)
+                    for a, b, v in zip(blv[ii], blv[jj], vals)
+                }
+        dirty = set()
+
+        def get_inter(a, b):
+            if a in dirty or b in dirty or (a, b) not in cache:
+                return float(_pair_inter_areas(hf, [a], [b])[0])
+            return cache[(a, b)]
+
         for i in bin_list:
             if not f["active"][i] or f["area"][i] >= weld_settings.max_weld_area:
                 continue
@@ -670,10 +730,7 @@ def timestep_welding(
                     dc = f["centroid"][i] - f["centroid"][j]
                     if (dc @ dc) >= (f["rmax"][i] + f["rmax"][j]) ** 2:
                         continue
-                    inter = sum(
-                        poly_area_np(p)
-                        for p in host_clip.intersect(hf.ring(i), hf.ring(j))
-                    )
+                    inter = get_inter(i, j)
                     weld_prob = weld_settings.welding_coeff * inter / f["area"][i]
                     union_area = f["area"][i] + f["area"][j] - inter
                     if (
@@ -692,6 +749,8 @@ def timestep_welding(
                     break
                 if fuse_two_floes(hf, i, j, dt, fs, prefuse, rng):
                     welded_any = True
+                    dirty.add(i)
+                    dirty.add(j)
             if welded_any:
                 gainers.append(i)
     # one new id per gaining floe, assigned after all welds complete

@@ -63,6 +63,13 @@ class Simulation:
     # the exact RNG stream of the original (the reference cannot do this -
     # simulation.jl:306-308 documents restart! as approximate)
     rng_state: Optional[dict] = None
+    # run the host ridge/raft pass at the reference's mid-step position
+    # (between collisions and coupling, simulation.jl:121-135) by splitting
+    # the jitted step at ridge/raft cadence steps; False keeps ridge/raft
+    # with the other host passes at end of step (one fused device step,
+    # fewer host syncs - the ordering deviation is bounded by
+    # tests/test_lifecycle.py::test_interleaved_vs_endofstep_ridge_raft)
+    interleave_ridge_raft: bool = True
     # capacities (static shapes)
     pair_cap: Optional[int] = None
     cell_cap: Optional[int] = None
@@ -113,11 +120,15 @@ def _auto_bins(model: Model) -> Optional[tuple]:
     return (nbx, nby, M)
 
 
-def build_step(sim: Simulation) -> Callable:
-    """Compile one simulation step: (floes, ocean, domain, tstep) -> same.
+def build_step_parts(sim: Simulation) -> tuple[Callable, Callable]:
+    """Compile the step as two jitted halves so the host ridge/raft pass can
+    run at the reference's mid-step position (between collisions and
+    coupling, simulation.jl:121-135):
 
-    The returned function is jitted once; tstep is a traced scalar so
-    process cadences use lax.cond.
+      collide(floes, ocean, domain, tstep)
+          -> (floes, domain, stress_instant, overflow)
+      finish(floes, ocean, domain, stress_instant, tstep)
+          -> (floes, ocean, domain, overflow)
     """
     grid = sim.model.grid
     atmos = sim.model.atmos
@@ -127,7 +138,7 @@ def build_step(sim: Simulation) -> Callable:
     cps = sim.coupling_settings
     cls = sim.collision_settings
 
-    def step(floes, ocean, domain: Domain, tstep):
+    def collide(floes, ocean, domain: Domain, tstep):
         stress_instant = jnp.zeros_like(floes.stress_accum)
         overflow = jnp.asarray(False)
 
@@ -142,6 +153,10 @@ def build_step(sim: Simulation) -> Callable:
             overflow = overflow | res.overflow
         # moving boundaries advance after collisions (collisions.jl:797)
         domain = domain.update_boundaries(dt)
+        return floes, domain, stress_instant, overflow
+
+    def finish(floes, ocean, domain: Domain, stress_instant, tstep):
+        overflow = jnp.asarray(False)
 
         # --- coupling (simulation.jl:151-161) -----------------------------
         if cps.coupling_on:
@@ -152,12 +167,13 @@ def build_step(sim: Simulation) -> Callable:
                     sim.cell_cap,
                 )
 
-            floes, ocean = jax.lax.cond(
+            floes, ocean, cp_overflow = jax.lax.cond(
                 jnp.mod(tstep, cps.dt) == 0,
                 do_coupling,
-                lambda args: args,
+                lambda args: (*args, jnp.asarray(False)),
                 (floes, ocean),
             )
+            overflow = overflow | cp_overflow
 
         # --- integrate (simulation.jl:165-170) ----------------------------
         floes = _update_floe.timestep_floe_properties(
@@ -171,6 +187,26 @@ def build_step(sim: Simulation) -> Callable:
             floes, ocean, grid, domain, fs
         )
         return floes, ocean, domain, overflow
+
+    return jax.jit(collide), jax.jit(finish)
+
+
+def build_step(sim: Simulation) -> Callable:
+    """Compile one simulation step: (floes, ocean, domain, tstep) -> same.
+
+    The returned function is jitted once; tstep is a traced scalar so
+    process cadences use lax.cond.
+    """
+    collide, finish = build_step_parts(sim)
+
+    def step(floes, ocean, domain: Domain, tstep):
+        floes, domain, stress_instant, ov1 = collide(
+            floes, ocean, domain, tstep
+        )
+        floes, ocean, domain, ov2 = finish(
+            floes, ocean, domain, stress_instant, tstep
+        )
+        return floes, ocean, domain, ov1 | ov2
 
     return jax.jit(step)
 
@@ -215,46 +251,64 @@ def run_scan(sim: Simulation, n_steps: int, start_tstep: int = 0, collect=None):
     return sim, collected
 
 
-def _host_lifecycle_passes(sim, floes, domain, tstep, rng, state, logger=None):
+def _warn_overflow_host(overflow, which, tstep, state, logger=None):
+    if bool(overflow):
+        state["n_overflow"] = state.get("n_overflow", 0) + 1
+        msg = (
+            f"pair/crossing capacity exceeded in {which} overlap query; "
+            "the overlap list may be incomplete"
+        )
+        if logger is not None:
+            logger.warn(msg, tstep)
+        else:
+            import warnings
+
+            warnings.warn(msg)
+
+
+def _host_ridge_raft(sim, floes, domain, tstep, rng, state, logger=None):
+    """The host ridge/raft pass (simulation.jl:121-135); called either
+    mid-step (interleave_ridge_raft) or from _host_lifecycle_passes."""
+    rr = sim.ridgeraft_settings
+    i, j, area, valid, overflow = _collisions.pair_overlaps(
+        floes, domain, sim.pair_cap, sim.clip_cap, sim.bins
+    )
+    _warn_overflow_host(overflow, "ridge/raft", tstep, state, logger)
+    mask = np.asarray(valid)
+    overlaps = list(
+        zip(
+            np.asarray(i)[mask].tolist(),
+            np.asarray(j)[mask].tolist(),
+            np.asarray(area)[mask].tolist(),
+        )
+    )
+    if overlaps:
+        floes, state["max_floe_id"] = _lifecycle.timestep_ridging_rafting(
+            floes, domain, overlaps, state["max_floe_id"],
+            rr, sim.floe_settings, sim.simp_settings, float(sim.dt), rng,
+        )
+    return floes
+
+
+def _host_lifecycle_passes(
+    sim, floes, domain, tstep, rng, state, logger=None,
+    skip_ridge_raft=False,
+):
     """Host-orchestrated topology changes at their process cadences
     (timestep_sim! order, simulation.jl:94-220). Returns updated floes."""
     fs = sim.floe_settings
     dt = float(sim.dt)
 
     def _warn_overflow(overflow, which):
-        if bool(overflow):
-            state["n_overflow"] = state.get("n_overflow", 0) + 1
-            msg = (
-                f"pair/crossing capacity exceeded in {which} overlap query; "
-                "the overlap list may be incomplete"
-            )
-            if logger is not None:
-                logger.warn(msg, tstep)
-            else:
-                import warnings
-
-                warnings.warn(msg)
+        _warn_overflow_host(overflow, which, tstep, state, logger)
 
     # ridging / rafting (simulation.jl:121-135)
     rr = sim.ridgeraft_settings
-    if rr.ridge_raft_on and rr.dt > 0 and tstep % rr.dt == 0 and tstep > 0:
-        i, j, area, valid, overflow = _collisions.pair_overlaps(
-            floes, domain, sim.pair_cap, sim.clip_cap, sim.bins
-        )
-        _warn_overflow(overflow, "ridge/raft")
-        mask = np.asarray(valid)
-        overlaps = list(
-            zip(
-                np.asarray(i)[mask].tolist(),
-                np.asarray(j)[mask].tolist(),
-                np.asarray(area)[mask].tolist(),
-            )
-        )
-        if overlaps:
-            floes, state["max_floe_id"] = _lifecycle.timestep_ridging_rafting(
-                floes, domain, overlaps, state["max_floe_id"],
-                rr, fs, sim.simp_settings, dt, rng,
-            )
+    if (
+        not skip_ridge_raft
+        and rr.ridge_raft_on and rr.dt > 0 and tstep % rr.dt == 0 and tstep > 0
+    ):
+        floes = _host_ridge_raft(sim, floes, domain, tstep, rng, state, logger)
 
     # fracture (simulation.jl:172-182)
     fr = sim.fracture_settings
@@ -316,7 +370,17 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
     from .io.logger import SimulationLogger
 
     logger = SimulationLogger(sim.name)
-    step = build_step(sim)
+    collide, finish = build_step_parts(sim)
+
+    def step(floes, ocean, domain, tstep):
+        floes, domain, si, ov1 = collide(floes, ocean, domain, tstep)
+        floes, ocean, domain, ov2 = finish(floes, ocean, domain, si, tstep)
+        return floes, ocean, domain, ov1 | ov2
+
+    rr = sim.ridgeraft_settings
+    rr_mid_step = (
+        sim.interleave_ridge_raft and rr.ridge_raft_on and rr.dt > 0
+    )
     floes = sim.model.floes
     ocean = sim.model.ocean
     domain = sim.model.domain
@@ -344,9 +408,26 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
                 sim, tstep, floes, ocean, domain,
                 rng_state=rng.bit_generator.state,
             )
-        floes, ocean, domain, overflow = step(
-            floes, ocean, domain, jnp.asarray(tstep)
-        )
+        rr_now = rr_mid_step and tstep % rr.dt == 0 and tstep > 0
+        if rr_now:
+            # reference mid-step placement: collisions -> ridge/raft ->
+            # coupling/integration (simulation.jl:108-135)
+            floes, domain, si, ov1 = collide(
+                floes, ocean, domain, jnp.asarray(tstep)
+            )
+            floes = _host_ridge_raft(
+                sim, floes, domain, tstep, rng, state, logger
+            )
+            # pieces created mid-step carry zero instantaneous stress this
+            # step; pad the stress rows to the (unchanged) pool capacity
+            floes, ocean, domain, ov2 = finish(
+                floes, ocean, domain, si, jnp.asarray(tstep)
+            )
+            overflow = ov1 | ov2
+        else:
+            floes, ocean, domain, overflow = step(
+                floes, ocean, domain, jnp.asarray(tstep)
+            )
         if bool(overflow):
             n_overflow += 1
             logger.warn(
@@ -356,7 +437,8 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
             )
         if has_host_ops:
             floes = _host_lifecycle_passes(
-                sim, floes, domain, tstep, rng, state, logger
+                sim, floes, domain, tstep, rng, state, logger,
+                skip_ridge_raft=rr_now,
             )
         tstep += 1
     n_overflow += state.get("n_overflow", 0)

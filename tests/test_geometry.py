@@ -209,3 +209,56 @@ class TestIntersect:
         v2, n2 = pad_polygon(square(0.25, 0.0, 1), V)
         res = intersect_regions(v1, n1, v2, n2, perturb=1e-9)
         assert np.isclose(float(res.total_area), 0.75, atol=1e-6)
+
+
+class TestClipAreaToRects:
+    """_clip_area_to_rects (closed-form clamped-image shoelace) vs the host
+    Weiler-Atherton booleans, on random non-convex rings and random rects."""
+
+    def test_random_rings_vs_host_clip(self):
+        from subzero_tpu.geometry import host_clip
+        from subzero_tpu.geometry.host_clip import poly_area_np
+        from subzero_tpu.physics.coupling import _clip_area_to_rects
+
+        rng = np.random.default_rng(7)
+        N, VV, A, B = 12, 24, 3, 3
+        verts = np.zeros((N, VV, 2))
+        nverts = np.zeros((N,), np.int32)
+        for i in range(N):
+            nv = int(rng.integers(5, VV))
+            th = np.sort(rng.random(nv)) * 2 * np.pi
+            r = 0.4 + rng.random(nv)  # star-shaped non-convex ring
+            ring = np.stack([r * np.cos(th), r * np.sin(th)], axis=1)
+            verts[i, :nv] = ring
+            verts[i, nv:] = ring[-1]
+            nverts[i] = nv
+        xmin = rng.uniform(-1.5, 0.5, (N, A, B))
+        ymin = rng.uniform(-1.5, 0.5, (N, A, B))
+        xmax = xmin + rng.uniform(0.1, 1.5, (N, A, B))
+        ymax = ymin + rng.uniform(0.1, 1.5, (N, A, B))
+        ok = np.ones((N, A, B), bool)
+        got = np.asarray(
+            _clip_area_to_rects(
+                jnp.asarray(verts), jnp.asarray(nverts),
+                jnp.asarray(xmin), jnp.asarray(xmax),
+                jnp.asarray(ymin), jnp.asarray(ymax), jnp.asarray(ok),
+            )
+        )
+        for i in range(N):
+            ring = verts[i, : nverts[i]]
+            for a in range(A):
+                for b in range(B):
+                    rect = np.array(
+                        [
+                            [xmin[i, a, b], ymin[i, a, b]],
+                            [xmax[i, a, b], ymin[i, a, b]],
+                            [xmax[i, a, b], ymax[i, a, b]],
+                            [xmin[i, a, b], ymax[i, a, b]],
+                        ]
+                    )
+                    want = sum(
+                        poly_area_np(p) for p in host_clip.intersect(ring, rect)
+                    )
+                    assert np.isclose(got[i, a, b], want, rtol=1e-5, atol=1e-9), (
+                        i, a, b, got[i, a, b], want,
+                    )

@@ -298,3 +298,79 @@ class TestSmooth:
         assert int(out.nverts[0]) < 31
         # mass conserved
         assert np.isclose(float(out.mass[0]), float(fl.mass[0]), rtol=1e-12)
+
+
+def test_interleaved_vs_endofstep_ridge_raft():
+    """Bound the process-order deviation (PARITY.md): the reference runs
+    ridge/raft mid-step (between collisions and coupling,
+    simulation.jl:121-135); interleave_ridge_raft=True reproduces that,
+    False runs it end-of-step.  On a fracture+ridge config the two orderings
+    must agree within conservation-test-style tolerances."""
+    from subzero_tpu.constants import Constants
+    from subzero_tpu.core import (
+        initialize_floe_field, make_atmos, make_model, make_ocean,
+    )
+    from subzero_tpu.settings import CouplingSettings
+    from subzero_tpu.simulation import Simulation, run
+
+    def build(interleave):
+        dtype = jnp.float64
+        grid = make_grid(0.0, 1e5, 0.0, 1e5, Nx=10, Ny=10)
+        ocean = make_ocean(grid, u=0.0, v=0.0, temp=0.0, dtype=dtype)
+        atmos = make_atmos(grid, temp=-1.0, dtype=dtype)
+        domain = make_domain(grid, *([BoundaryKind.PERIODIC] * 4), dtype=dtype)
+        fs = FloeSettings(
+            min_floe_area=1e6,
+            subfloe_point_generator=SubGridPointsGenerator.from_grid(grid, 2),
+        )
+        floes = initialize_floe_field(
+            16, [0.6], domain, 0.5, 0.0, fs, rng=np.random.default_rng(11),
+            dtype=dtype, N=256,
+        )
+        floes = floes._replace(
+            u=jnp.where(floes.active, 0.2 * jnp.cos(floes.id * 1.7), 0.0),
+            v=jnp.where(floes.active, 0.2 * jnp.sin(floes.id * 2.3), 0.0),
+        )
+        model = make_model(grid, ocean, atmos, domain, floes)
+        return Simulation(
+            model=model,
+            consts=Constants(E=1e6, mu=0.0),
+            dt=10, n_dt=200, seed=7,
+            floe_settings=fs,
+            coupling_settings=CouplingSettings(coupling_on=False),
+            fracture_settings=FractureSettings(
+                fractures_on=True,
+                criteria=HiblerYieldCurve(pstar=1e-8, c=20.0),
+                dt=100, npieces=2,
+            ),
+            ridgeraft_settings=RidgeRaftSettings(
+                ridge_raft_on=True, dt=20,
+                ridge_probability=1.0, min_overlap_frac=1e-4,
+                domain_gain_probability=0.0,
+            ),
+            interleave_ridge_raft=interleave,
+            pair_cap=64 * 256,
+        )
+
+    def summary(sim):
+        f = sim.model.floes
+        a = np.asarray(f.active)
+        m = np.asarray(f.mass)[a]
+        u = np.asarray(f.u)[a]
+        v = np.asarray(f.v)[a]
+        ke = 0.5 * np.sum(m * (u**2 + v**2))
+        px = np.sum(m * u)
+        py = np.sum(m * v)
+        return m.sum(), ke, px, py
+
+    mA, keA, pxA, pyA = summary(run(build(True)))
+    mB, keB, pxB, pyB = summary(run(build(False)))
+    # mass ledger identical up to remnant dissolution
+    np.testing.assert_allclose(mA, mB, rtol=1e-2)
+    # kinetic energy of the two orderings within conservation-style bounds
+    scale = max(abs(keA), abs(keB))
+    assert abs(keA - keB) <= 0.05 * scale, (keA, keB)
+    # linear momentum agrees within 2.1% of the momentum scale (the
+    # reference's complex-shape conservation tolerance)
+    pscale = max(np.hypot(pxA, pyA), np.hypot(pxB, pyB), 1e-30)
+    assert np.hypot(pxA - pxB, pyA - pyB) <= 0.021 * pscale

@@ -117,3 +117,40 @@ def test_run_scan_no_warning_when_capacity_ok():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         run_scan(sim, 3)
+
+
+def test_two_way_window_overflow_flag():
+    """A floe larger than its cell_cap x cell_cap two-way window must fire
+    the coupling overflow flag instead of silently dropping point stress
+    (the reference's CellStresses accumulates every point,
+    coupling.jl:1329-1384); an adequate window must not."""
+    from subzero_tpu.physics.coupling import timestep_coupling
+
+    grid = make_grid(0.0, 4e4, 0.0, 4e4, dx=2e3, dy=2e3)
+    domain = make_domain(grid, *([BoundaryKind.PERIODIC] * 4), dtype=jnp.float64)
+    fs = FloeSettings(
+        min_floe_area=1e6,
+        subfloe_point_generator=SubGridPointsGenerator.from_grid(grid, 2),
+    )
+    floes = initialize_floe_field(
+        4, [0.9], domain, 0.25, 0.0, fs, rng=np.random.default_rng(5),
+        dtype=jnp.float64, shrink_frac=0.0,
+    )
+    ocean = make_ocean(grid, u=0.3, v=0.0, temp=0.0, dtype=jnp.float64)
+    atmos = make_atmos(grid, u=0.0, v=0.0, temp=-1.0, dtype=jnp.float64)
+    cps = CouplingSettings(two_way_coupling_on=True)
+    consts = Constants()
+
+    # adequate window (Simulation sizing formula)
+    rmax = float(jnp.max(floes.rmax))
+    cap_ok = int(2 * np.ceil(1.5 * rmax / 2e3) + 3)
+    _, _, over = timestep_coupling(
+        floes, grid, domain, ocean, atmos, consts, cps, fs, 10.0, cap_ok
+    )
+    assert not bool(over)
+
+    # window too small for these floes -> must flag
+    _, _, over = timestep_coupling(
+        floes, grid, domain, ocean, atmos, consts, cps, fs, 10.0, 3
+    )
+    assert bool(over)

@@ -421,9 +421,8 @@ def test_decomp2d_migration_across_corner():
 
 def test_run_decomp_2d_end_to_end():
     """run_decomp drives a 2-D (2x2) decomposition end-to-end: host
-    lifecycle (fracture) at cadence over the gathered pool, mass
-    bookkeeping intact, trajectory tracks the single-device run until the
-    first stochastic host pass."""
+    lifecycle (fracture) at cadence over the gathered pool, piece count
+    grows, and total mass is conserved."""
     from subzero_tpu.settings import FractureSettings, HiblerYieldCurve
     from subzero_tpu.simulation import run
 

@@ -55,7 +55,7 @@ def main():
     real_fcp = C.find_candidate_pairs
 
     def fake_ir(pv, pn, qv, qn, CAP=16, perturb=0.0):
-        R = max(CAP // 2, 2)
+        R = CAP  # match the real kernel's region-capacity contract
         dt = pv.dtype
         z = jnp.zeros
         return ClipRegions(
@@ -84,38 +84,39 @@ def main():
     ms_full = measure(sim)
     print(f"full step:                 {ms_full:8.3f} ms", flush=True)
 
-    C.intersect_regions = fake_ir
-    ms_noslow = measure(bench.build_sim(500, 1e5, 2e3))
-    print(
-        f"slow region kernel out:    {ms_noslow:8.3f} ms"
-        f"   (marginal {ms_full - ms_noslow:.3f})",
-        flush=True,
-    )
+    try:
+        C.intersect_regions = fake_ir
+        ms_noslow = measure(bench.build_sim(500, 1e5, 2e3))
+        print(
+            f"slow region kernel out:    {ms_noslow:8.3f} ms"
+            f"   (marginal {ms_full - ms_noslow:.3f})",
+            flush=True,
+        )
 
-    C.two_cross_dispatch = fake_tc
-    ms_nonarrow = measure(bench.build_sim(500, 1e5, 2e3))
-    print(
-        f"narrow sweep also out:     {ms_nonarrow:8.3f} ms"
-        f"   (marginal {ms_noslow - ms_nonarrow:.3f})",
-        flush=True,
-    )
+        C.two_cross_dispatch = fake_tc
+        ms_nonarrow = measure(bench.build_sim(500, 1e5, 2e3))
+        print(
+            f"narrow sweep also out:     {ms_nonarrow:8.3f} ms"
+            f"   (marginal {ms_noslow - ms_nonarrow:.3f})",
+            flush=True,
+        )
 
-    sim4 = bench.build_sim(500, 1e5, 2e3)
-    const_pairs = jax.jit(
-        lambda f: real_fcp(f, sim4.model.domain, sim4.pair_cap, sim4.bins)
-    )(sim4.model.floes)
-    const_pairs = jax.tree.map(jnp.asarray, const_pairs)
-    C.find_candidate_pairs = lambda f, d, p, b=None: const_pairs
-    ms_nopairs = measure(sim4)
-    print(
-        f"broad phase also out:      {ms_nopairs:8.3f} ms"
-        f"   (marginal {ms_nonarrow - ms_nopairs:.3f})",
-        flush=True,
-    )
-
-    C.intersect_regions = real_ir
-    C.two_cross_dispatch = real_tc
-    C.find_candidate_pairs = real_fcp
+        sim4 = bench.build_sim(500, 1e5, 2e3)
+        const_pairs = jax.jit(
+            lambda f: real_fcp(f, sim4.model.domain, sim4.pair_cap, sim4.bins)
+        )(sim4.model.floes)
+        const_pairs = jax.tree.map(jnp.asarray, const_pairs)
+        C.find_candidate_pairs = lambda f, d, p, b=None: const_pairs
+        ms_nopairs = measure(sim4)
+        print(
+            f"broad phase also out:      {ms_nopairs:8.3f} ms"
+            f"   (marginal {ms_nonarrow - ms_nopairs:.3f})",
+            flush=True,
+        )
+    finally:
+        C.intersect_regions = real_ir
+        C.two_cross_dispatch = real_tc
+        C.find_candidate_pairs = real_fcp
 
 
 if __name__ == "__main__":

@@ -179,6 +179,38 @@ def main():
     )
     print(f"coupling (one-way): {ms:8.3f} ms", flush=True)
 
+    cps2 = CouplingSettings(two_way_coupling_on=True)
+    ms = scan_time(
+        lambda: (
+            lambda f, k: jnp.sum(
+                CP.timestep_coupling(
+                    f, grid, dm, oc, atmos, consts, cps2, fs, dt, sim.cell_cap
+                )[1].tau_x
+            )
+        ),
+        fl,
+    )
+    print(f"coupling (two-way): {ms:8.3f} ms", flush=True)
+
+    # slow-path region kernel at its in-step capacity
+    from subzero_tpu.geometry.clip import intersect_regions
+
+    slow_cap = max(sim.pair_cap // 128, 32)
+    iz = jnp.zeros((slow_cap,), jnp.int32)
+    ms = scan_time(
+        lambda: (
+            lambda f, k: jnp.sum(
+                jax.vmap(
+                    lambda a, b, c2, d: intersect_regions(
+                        a, b, c2, d, CAP=sim.clip_cap
+                    ).total_area
+                )(f.verts[iz], f.nverts[iz], q_verts[iz], q_n[iz])
+            )
+        ),
+        fl,
+    )
+    print(f"slow region kernel: {ms:8.3f} ms  (cap={slow_cap})", flush=True)
+
     si = jnp.zeros_like(fl.stress_accum)
     ms = scan_time(
         lambda: (

@@ -175,6 +175,29 @@ def main():
     ms = timeit(lambda: cp_fn(fl, oc))
     print(f"coupling (one-way):   {ms:8.3f} ms", flush=True)
 
+    # coupling with two-way ON (the reference-faithful configuration,
+    # shear_flow.jl:35-38)
+    cps2 = CouplingSettings(two_way_coupling_on=True)
+    cp2_fn = jax.jit(
+        lambda f, o: CP.timestep_coupling(
+            f, grid, dm, o, atmos, consts, cps2, fs, dt, sim.cell_cap
+        )
+    )
+    ms = timeit(lambda: cp2_fn(fl, oc))
+    print(f"coupling (two-way):   {ms:8.3f} ms", flush=True)
+
+    # two-way sub-phases: window clip
+    ow = jax.jit(
+        lambda f, o: CP.calc_one_way_coupling(f, grid, dm, o, atmos, consts)
+    )(fl, oc)
+    tw_fn = jax.jit(
+        lambda ow_, o: CP.calc_two_way_coupling(
+            ow_, grid, dm, o, atmos, consts, fs, dt, sim.cell_cap
+        )
+    )
+    ms = timeit(lambda: tw_fn(ow, oc))
+    print(f"  two-way only:       {ms:8.3f} ms  (cell_cap={sim.cell_cap})", flush=True)
+
     # integrator
     si = jnp.zeros_like(fl.stress_accum)
     uf_fn = jax.jit(lambda f: UF.timestep_floe_properties(f, dt, fs, si))
