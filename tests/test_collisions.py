@@ -185,3 +185,66 @@ class TestFloeBoundary:
         assert f[0, 0] <= 0
         assert f[0, 1] <= 0
         assert abs(f[0, 0]) > 0 and abs(f[0, 1]) > 0
+
+
+class TestInteractionRowGoldens:
+    """Per-contact interaction rows vs the reference's per-row goldens
+    (test_collisions.jl:54-81, 128-150): force application point, per-region
+    force/torque/overlap, and the wall index encoding."""
+
+    def _rows(self, fl, domain, pair_cap=64):
+        from subzero_tpu.physics.collisions import pair_interactions
+
+        r = pair_interactions(fl, domain, CONSTS, DT, pair_cap)
+        v = np.asarray(r["valid"])
+        return {k: np.asarray(r[k])[v] for k in
+                ("i", "j", "fx", "fy", "px", "py", "torque", "overlap")}
+
+    def test_triangle_rect_row(self):
+        fl = floes_from([TRI, CORNER_RECT], us=[0.1, 0.0], vs=[0.0, -0.1])
+        r = self._rows(fl, OPEN_DOMAIN)
+        own = (r["i"] == 0) & (r["j"] == 1)
+        assert own.sum() == 1
+        k = np.nonzero(own)[0][0]
+        assert np.isclose(r["fx"][k], -64613382.47, atol=1e-2)
+        assert np.isclose(r["fy"][k], -521498991.51, atol=1e-2)
+        assert np.isclose(r["px"][k], 10000.00, atol=1e-2)
+        assert np.isclose(r["py"][k], 26555.55, atol=1e-2)
+        assert np.isclose(r["overlap"][k], 8000000, atol=1e-2)
+        assert np.isclose(r["torque"][k], 1069710443203.99, atol=2e-1)
+
+    def test_cshape_two_region_rows(self):
+        fl = floes_from([CSHAPE, CORNER_RECT], us=[0.3, 0.0], vs=[0.0, -0.1])
+        r = self._rows(fl, OPEN_DOMAIN)
+        own = (r["i"] == 0) & (r["j"] == 1)
+        assert own.sum() == 2
+        ks = np.nonzero(own)[0]
+        # order by x of the force point (reference rows 1, 2)
+        ks = ks[np.argsort(r["px"][ks])]
+        np.testing.assert_allclose(
+            r["fx"][ks], [-163013665.41, -81506832.70], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            r["fy"][ks], [804819565.60, 402409782.80], rtol=1e-6
+        )
+        np.testing.assert_allclose(r["px"][ks], [7500.0, 13750.0], atol=1e-2)
+        np.testing.assert_allclose(r["py"][ks], [28000.0, 28000.0], atol=1e-2)
+        np.testing.assert_allclose(r["overlap"][ks], [1e7, 5e6], rtol=1e-6)
+        np.testing.assert_allclose(
+            r["torque"][ks], [-2439177121266.03, 1295472581868.05], rtol=1e-6
+        )
+
+    def test_east_wall_row(self):
+        # diagonal floe against the east collision wall: j encoded -3
+        # (test_collisions.jl:112, 124-133)
+        small = [[9.5e4, 0.0], [9e4, 0.5e4], [10e4, 2.5e4], [10.05e4, 2e4]]
+        fl = floes_from([small], us=[0.5], vs=[0.25])
+        r = self._rows(fl, TOPO_DOMAIN)
+        wall = r["j"] == -3
+        assert wall.sum() == 1
+        k = np.nonzero(wall)[0][0]
+        assert np.isclose(r["fx"][k], -311304795.629, atol=1e-3)
+        assert np.isclose(r["fy"][k], -23618874.648, atol=1e-3)
+        assert np.isclose(r["overlap"][k], 1704545.454, atol=1e-3)
+        assert np.isclose(r["px"][k], 100166.666, atol=1e-3)
+        assert np.isclose(r["py"][k], 21060.606, atol=1e-3)

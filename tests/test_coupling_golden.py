@@ -3,9 +3,10 @@
 Uses the reference's test_mc_points.jld2 fixture - the exact Monte-Carlo
 sub-floe points the MATLAB lineage used to produce the golden fxOA/fyOA/
 trqOA values - so the drag/Coriolis/turning-angle quadrature is compared
-point-for-point. (Models 5-6 use non-uniform fields whose Julia matrix
-orientation is not reproducible without Julia; the uniform-field models
-1-4 pin the full force recipe.)
+point-for-point.  All six models are ported, including the non-uniform
+streamfunction fields of models 5-6 (the Julia tests build [ny, nx]
+matrices via grids_from_lines and pass the transpose to Ocean, which is
+exactly our x-major [Nx+1, Ny+1] layout).
 """
 
 import h5py
@@ -101,3 +102,38 @@ def test_stationary_floe_diagonal_atmos():
     assert fx == pytest.approx(-0.0013, abs=1e-3)
     assert fy == pytest.approx(-6.7082e-4, abs=1e-3)
     assert trq == pytest.approx(0.2276, abs=1e-3)
+
+
+def _non_uniform_fields():
+    """The reference's streamfunction-derived non-uniform u/v fields
+    (test_coupling.jl:580-593).  grids_from_lines gives [ny, nx] matrices
+    (xgrid[iy, ix] = x_ix); the test passes the TRANSPOSE to Ocean, i.e.
+    x-major [nx, ny] - exactly our make_ocean convention."""
+    xs = np.linspace(-1e5, 1e5, 21)
+    X, Y = np.meshgrid(xs, xs)  # indexing='xy': X[iy, ix] = xs[ix]
+    psi = 0.5e4 * np.sin(4 * np.pi / 4e5 * X) * np.sin(4 * np.pi / 4e5 * Y)
+    u = np.zeros_like(X)
+    u[1:, :] = -1e-4 * (psi[1:, :] - psi[:-1, :])
+    v = np.zeros_like(Y)
+    v[:, 1:] = 1e-4 * (psi[:, 1:] - psi[:, :-1])
+    return u.T, v.T
+
+
+def test_stationary_floe_non_uniform_ocean():
+    # model 5 (test_coupling.jl:580-612)
+    u, v = _non_uniform_fields()
+    fx, fy, trq = _run(ocean_u=u, ocean_v=v)
+    assert fx == pytest.approx(-0.0182, abs=1e-3)
+    assert fy == pytest.approx(0.0392, abs=1e-3)
+    assert trq == pytest.approx(23.6399, abs=1e-3)
+
+
+def test_moving_floe_non_uniform_ocean_atmos():
+    # model 6 (test_coupling.jl:614-640)
+    u, v = _non_uniform_fields()
+    fx, fy, trq = _run(
+        ocean_u=u, ocean_v=v, atmos_u=u, atmos_v=v, u=0.5, v=-0.5
+    )
+    assert fx == pytest.approx(-1.6300, abs=1e-3)
+    assert fy == pytest.approx(1.1240, abs=1e-3)
+    assert trq == pytest.approx(523.2361, abs=2e-1)
