@@ -70,7 +70,10 @@ def _kernel(pax, pay, pbx, pby, pem, qax, qay, qbx, qby, qem,
     sx = qb_x - qa_x                 # [16, TB] Q edge vectors
     sy = qb_y - qa_y
 
-    iota_w = jax.lax.broadcasted_iota(dtype, pe_m.shape, 0)  # [16, TB]
+    # Mosaic only supports integer iota; cast to the compute dtype
+    iota_w = jax.lax.broadcasted_iota(
+        jnp.int32, pe_m.shape, 0
+    ).astype(dtype)  # [16, TB]
 
     z1 = jnp.zeros_like(nP)
     cnt = z1

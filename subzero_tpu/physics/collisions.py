@@ -408,15 +408,10 @@ def pair_overlaps(
         perturb0[ssafe],
     )
     slow_total = jnp.where(svalid, regions.total_area, 0.0)
-    s_onehot = ssel[:, None] == jnp.arange(PC, dtype=ssel.dtype)[None, :]
     area = (
         tc.contain
         + jnp.where(tc.ok, tc.area, 0.0)
-        + jax.lax.dot_general(
-            s_onehot.astype(slow_total.dtype), slow_total,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=slow_total.dtype,
-        )
+        + _onehot_sum(slow_total[:, None], ssel, PC)[:, 0]
     )
     valid = pairs.valid & (area > 0)
     # encode j: floes stay as pool index; walls -> -1..-4; topo -> -5-t
@@ -797,11 +792,18 @@ def _region_forces(
 
 
 def _onehot_sum(payload: jnp.ndarray, idx: jnp.ndarray, N: int) -> jnp.ndarray:
-    """Scatter-add ``payload [K, F]`` into ``out [N, F]`` at rows ``idx [K]``
-    via a one-hot matmul.  TPU scatters serialize (each segment_sum was
-    ~0.1 ms at K~4k); a [K, N] x [K, F] contraction is one MXU pass.  Rows
-    with idx outside [0, N) are dropped."""
+    """Scatter-add ``payload [K, F]`` into ``out [N, F]`` at rows ``idx [K]``.
+
+    Small pools: a [K, N] one-hot MXU contraction (TPU scatters serialize;
+    each segment_sum was ~0.1 ms at K~4k, and at that scale the one-hot is
+    a few MB).  Large pools: the one-hot grows as K x N (~4 GB of HBM
+    traffic at K=123k, N=8k), so segment_sum's serialized scatter-adds
+    (K x F elements) win.  Rows with idx outside [0, N) are dropped."""
     dtype = payload.dtype
+    K = idx.shape[0]
+    if K * N > 1 << 25:  # ~128 MB of one-hot in f32
+        idx_safe = jnp.where((idx >= 0) & (idx < N), idx, N)
+        return jax.ops.segment_sum(payload, idx_safe, num_segments=N + 1)[:N]
     onehot = (idx[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]).astype(dtype)
     return jax.lax.dot_general(
         onehot, payload, (((0,), (0,)), ((), ())),
@@ -972,21 +974,15 @@ def timestep_collisions(
     )
     perturb0 = eps_rel * scale0
 
-    # i-side rings are row-structured broadcasts; the j side is one one-hot
-    # MXU contraction (a [PC, V, 2] gather compiles to a latency-bound
-    # kernel chain on TPU)
+    # i-side rings are row-structured broadcasts; the j side is one
+    # row-block gather (contiguous [V, 2] rows DMA well - measured faster
+    # than the [PC, NQ] one-hot MXU contraction it replaces, which
+    # materializes PC x NQ and grows quadratic-ish with pool size)
     pv0 = jnp.broadcast_to(
         floes.verts[:, None], (N, row_cap0, V, 2)
     ).reshape(PC, V, 2)
     pn0 = jnp.broadcast_to(floes.nverts[:, None], (N, row_cap0)).reshape(PC)
-    NQ = q_verts.shape[0]
-    j_onehot = (
-        j0[:, None] == jnp.arange(NQ, dtype=j0.dtype)[None, :]
-    ).astype(dtype)
-    qv0 = jax.lax.dot_general(
-        j_onehot, q_verts.reshape(NQ, V * 2), (((1,), (0,)), ((), ())),
-        preferred_element_type=dtype,
-    ).reshape(PC, V, 2)
+    qv0 = q_verts[j0]
     qn0 = sides0.n_j.astype(jnp.int32)
 
     tc = two_cross_dispatch(
@@ -1010,27 +1006,37 @@ def timestep_collisions(
     i1 = i0[ssafe]
     j1 = j0[ssafe]
     shift1 = pairs.shift[ssafe]
-    sregions = jax.vmap(
-        lambda a, b, c, d, p: intersect_regions(a, b, c, d, CAP=clip_cap, perturb=p)
-    )(
-        floes.verts[i1],
-        floes.nverts[i1],
-        q_verts[j1] + shift1[:, None, :],
-        q_n[j1],
-        perturb0[ssafe],
-    )
-    slow_total = jnp.where(svalid, sregions.total_area, 0.0)
-    # scatter-free slow -> full-list routing (ssel == PC rows drop out)
-    s_onehot = ssel[:, None] == jnp.arange(PC, dtype=ssel.dtype)[None, :]
 
-    def scatter_slow_sum(x):
-        return jax.lax.dot_general(
-            s_onehot.astype(x.dtype), x, (((0,), (0,)), ((), ())),
-            preferred_element_type=x.dtype,
+    def run_slow():
+        return jax.vmap(
+            lambda a, b, c, d, p: intersect_regions(
+                a, b, c, d, CAP=clip_cap, perturb=p
+            )
+        )(
+            floes.verts[i1],
+            floes.nverts[i1],
+            q_verts[j1] + shift1[:, None, :],
+            q_n[j1],
+            perturb0[ssafe],
         )
 
-    def scatter_slow_max(x):
-        return jnp.max(jnp.where(s_onehot, x[:, None], 0.0), axis=0)
+    def skip_slow():
+        return jax.tree.map(
+            lambda a: jnp.zeros(a.shape, a.dtype), jax.eval_shape(run_slow)
+        )
+
+    # most steps have zero multi-region/degenerate contacts: skip the
+    # general sort/compact/cycle kernel entirely when the slow list is empty
+    sregions = jax.lax.cond(n_slow > 0, run_slow, skip_slow)
+    slow_total = jnp.where(svalid, sregions.total_area, 0.0)
+
+    # slow -> full-list routing (ssel == PC rows drop out); each valid slow
+    # row targets a distinct pair, so a sum IS a write - route through
+    # _onehot_sum (one-hot matmul at small scale, segment_sum at large)
+    def scatter_slow_sum(x):
+        return _onehot_sum(x[:, None], ssel, PC)[:, 0]
+
+    scatter_slow_max = scatter_slow_sum
 
     # total intersection area for every candidate pair (containment included)
     total_area0 = (

@@ -46,19 +46,33 @@ def remove_and_dissolve(
     in_grid = (cx >= 0) & (cx < grid.Nx) & (cy >= 0) & (cy < grid.Ny)
     NCy = grid.Ny + 1
     ncells = (grid.Nx + 1) * NCy
-    cell = jnp.where(dissolve & in_grid, cx * NCy + cy, ncells)
-    # one-hot contraction instead of a scatter (TPU scatters serialize)
+    N = floes.capacity
+    # Dissolution is rare: compact the dissolving floes to a small fixed
+    # list before the one-hot deposition contraction (a full [N, ncells]
+    # one-hot is ~1.3 GB/step at N = 8k on a 201x201 grid; TPU scatters
+    # serialize, hence the one-hot).  If more than K floes dissolve in one
+    # step, the unselected ones simply stay active and dissolve next step -
+    # the mass ledger stays exact.
+    K = min(256, N)
+    rank = jnp.cumsum(dissolve.astype(jnp.int32)) - 1
+    selected = dissolve & (rank < K)
+    (sel,) = jnp.nonzero(dissolve, size=K, fill_value=N)
+    valid = sel < N
+    safe = jnp.minimum(sel, N - 1)
+    cellk = jnp.where(
+        valid & in_grid[safe], cx[safe] * NCy + cy[safe], ncells
+    )
     onehot = (
-        cell[:, None] == jnp.arange(ncells, dtype=cell.dtype)[None, :]
+        cellk[:, None] == jnp.arange(ncells, dtype=cellk.dtype)[None, :]
     ).astype(floes.mass.dtype)
-    mass = jnp.where(dissolve & in_grid, floes.mass, 0.0)
+    massk = jnp.where(valid & in_grid[safe], floes.mass[safe], 0.0)
     added = jax.lax.dot_general(
-        onehot, mass, (((0,), (0,)), ((), ())),
+        onehot, massk, (((0,), (0,)), ((), ())),
         preferred_element_type=floes.mass.dtype,
     ).reshape(grid.Nx + 1, NCy)
     ocean = ocean._replace(dissolved=ocean.dissolved + added.astype(ocean.dissolved.dtype))
 
-    gone = floes.remove | dissolve
+    gone = floes.remove | selected
     new_active = act & ~gone
     # NOTE: fuse_with is NOT reset here - the host fusion pass after the
     # device step consumes it (and resets it itself); removed floes can't

@@ -11,6 +11,7 @@ amortized away.  Compare with tools/profile_step.py (per-call timings).
       > /tmp/profile_scan.out 2>&1 &
 """
 
+import sys
 import time
 
 import numpy as np
@@ -69,13 +70,20 @@ def main():
     )
     from subzero_tpu.simulation import Simulation, build_step
 
+    # usage: profile_scan.py [n_floes L use_bins]  (default 500 1e5 0)
+    n_floes = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    Lx = float(sys.argv[2]) if len(sys.argv) > 2 else 1e5
+    use_bins = len(sys.argv) > 3 and sys.argv[3] not in ("0", "")
+
     dtype = jnp.float32
-    Lx = 1e5
     grid = make_grid(0.0, Lx, 0.0, Lx, dx=2e3, dy=2e3)
-    ocean_u = np.concatenate(
-        [np.linspace(0, 0.5, 26), np.linspace(0.5, 0, 25)]
-    )[None, :].repeat(51, axis=0)
-    ocean = make_ocean(grid, u=ocean_u.T.T, v=0.0, temp=0.0, dtype=dtype)
+    ny = grid.Ny + 1
+    half = ny // 2 + 1
+    uvels = np.concatenate(
+        [np.linspace(0, 0.5, half), np.linspace(0.5, 0, ny - half)]
+    )
+    ocean_u = np.broadcast_to(uvels[None, :], (grid.Nx + 1, ny))
+    ocean = make_ocean(grid, u=ocean_u, v=0.0, temp=0.0, dtype=dtype)
     atmos = make_atmos(grid, u=0.0, v=0.0, temp=-1.0, dtype=dtype)
     domain = make_domain(grid, *([BoundaryKind.PERIODIC] * 4), dtype=dtype)
     fs = FloeSettings(
@@ -84,7 +92,7 @@ def main():
     )
     rng = np.random.default_rng(1)
     floes = initialize_floe_field(
-        500, [0.8], domain, 0.25, 0.0, fs, rng=rng, dtype=dtype
+        n_floes, [0.8], domain, 0.25, 0.0, fs, rng=rng, dtype=dtype
     )
     model = make_model(grid, ocean, atmos, domain, floes)
     area = np.asarray(floes.area)[np.asarray(floes.active)]
@@ -95,6 +103,12 @@ def main():
         model=model, consts=consts, dt=20, n_dt=0,
         floe_settings=fs, coupling_settings=cps,
     )
+    if use_bins:
+        from subzero_tpu.simulation import _auto_bins
+
+        sim.bins = _auto_bins(model)
+        sim.pair_cap = 16 * model.floes.capacity
+        print("bins:", sim.bins, "pair_cap:", sim.pair_cap, flush=True)
     dt = 20.0
     print("device:", jax.devices()[0], flush=True)
 
