@@ -53,6 +53,11 @@ from ..settings import CollisionSettings
 # Q-pool layout: [0, N) floes, [N, N+4) walls (N,S,E,W), [N+4, N+4+T) topo
 WALL_OFFSET = 0  # computed at runtime as N
 
+# Pool size above which the narrow phase compacts the padded candidate list
+# down to its valid pairs before gathering (see timestep_collisions).  Module
+# constant so tests can exercise the compacted path at small N.
+COMPACT_MIN_N = 4096
+
 
 class PairArrays(NamedTuple):
     qi: jnp.ndarray        # [PC] floe index i (P side)
@@ -961,10 +966,35 @@ def timestep_collisions(
     # single-region contacts - the full region quantities directly.  Only
     # multi-region / degenerate contacts (C-shapes etc.) go through the
     # general sort/compact/cycle kernel, at a small capacity.
+    #
+    # Large pools first COMPACT the candidate list to its valid pairs: the
+    # broad-phase row capacity must cover the max per-floe degree (~16)
+    # while the mean is ~3-4, and every narrow-phase gather pays per ROW of
+    # the padded list (TPU row gathers are issue-rate bound, ~70 ns each -
+    # 9 ms of the 17 ms collision cost at N = 8k was gathers on padding).
+    # Compaction costs one cumsum-based nonzero over the [PC] mask and
+    # drops the row structure (i side switches to gathers + segment sums).
     i0 = pairs.qi
     j0 = pairs.qj
     pvalid0 = pairs.valid
-    row_cap0 = PC // N
+    compact = N >= COMPACT_MIN_N
+    compact_overflow = jnp.asarray(False)
+    if compact:
+        KC = 6 * N  # ~2x the expected valid-pair count at conc 0.8
+        compact_overflow = jnp.sum(pvalid0.astype(jnp.int32)) > KC
+        (csel,) = jnp.nonzero(pvalid0, size=KC, fill_value=PC)
+        cvalid = csel < PC
+        csafe = jnp.minimum(csel, PC - 1)
+        i0 = jnp.where(cvalid, i0[csafe], N - 1)
+        j0 = jnp.where(cvalid, j0[csafe], N - 1)
+        pairs = pairs._replace(
+            shift=jnp.where(cvalid[:, None], pairs.shift[csafe], 0.0)
+        )
+        pvalid0 = cvalid
+        PC = KC
+        row_cap0 = None
+    else:
+        row_cap0 = PC // N
     sides0 = _gather_sides(floes, q_table, i0, j0, row_cap=row_cap0)
 
     # deterministic degeneracy-breaking perturbation, scaled to the pair
@@ -974,14 +1004,19 @@ def timestep_collisions(
     )
     perturb0 = eps_rel * scale0
 
-    # i-side rings are row-structured broadcasts; the j side is one
-    # row-block gather (contiguous [V, 2] rows DMA well - measured faster
-    # than the [PC, NQ] one-hot MXU contraction it replaces, which
-    # materializes PC x NQ and grows quadratic-ish with pool size)
-    pv0 = jnp.broadcast_to(
-        floes.verts[:, None], (N, row_cap0, V, 2)
-    ).reshape(PC, V, 2)
-    pn0 = jnp.broadcast_to(floes.nverts[:, None], (N, row_cap0)).reshape(PC)
+    # i-side rings are row-structured broadcasts (or gathers on the
+    # compacted list); the j side is one row-block gather (contiguous
+    # [V, 2] rows DMA well - measured faster than the [PC, NQ] one-hot MXU
+    # contraction it replaces, which materializes PC x NQ and grows
+    # quadratic-ish with pool size)
+    if row_cap0 is not None:
+        pv0 = jnp.broadcast_to(
+            floes.verts[:, None], (N, row_cap0, V, 2)
+        ).reshape(PC, V, 2)
+        pn0 = jnp.broadcast_to(floes.nverts[:, None], (N, row_cap0)).reshape(PC)
+    else:
+        pv0 = floes.verts[i0]
+        pn0 = floes.nverts[i0]
     qv0 = q_verts[j0]
     qn0 = sides0.n_j.astype(jnp.int32)
 
@@ -1124,12 +1159,27 @@ def timestep_collisions(
     # records the partner): the host fuse pass (lifecycle_host.fuse_floes)
     # processes a marked pair from either endpoint, so the reference's
     # both-floes-marked bookkeeping (collisions.jl:364-368) is redundant.
-    fuse_i = jnp.any(fuse_pair0.reshape(N, row_cap0), axis=1)
-    fw_i = jnp.max(
-        jnp.where(fuse_pair0, j0, -1).reshape(N, row_cap0), axis=1
-    )
-    fuse_with = jnp.where(fuse_i, fw_i, -1).astype(jnp.int32)
-    remove = remove | jnp.any(dom_remove_pair0.reshape(N, row_cap0), axis=1)
+    if row_cap0 is not None:
+        fuse_i = jnp.any(fuse_pair0.reshape(N, row_cap0), axis=1)
+        fw_i = jnp.max(
+            jnp.where(fuse_pair0, j0, -1).reshape(N, row_cap0), axis=1
+        )
+        fuse_with = jnp.where(fuse_i, fw_i, -1).astype(jnp.int32)
+        remove = remove | jnp.any(
+            dom_remove_pair0.reshape(N, row_cap0), axis=1
+        )
+    else:  # compacted list: per-floe maxima via segment_max over i0
+        seg_f = jnp.where(fuse_pair0, i0, N).astype(jnp.int32)
+        fw_i = jax.ops.segment_max(
+            jnp.where(fuse_pair0, j0, -1).astype(jnp.int32), seg_f,
+            num_segments=N + 1,
+        )[:N]
+        fuse_with = jnp.where(fw_i >= 0, fw_i, -1).astype(jnp.int32)
+        seg_r = jnp.where(dom_remove_pair0, i0, N).astype(jnp.int32)
+        rem_hit = jax.ops.segment_max(
+            dom_remove_pair0.astype(jnp.int32), seg_r, num_segments=N + 1
+        )[:N]
+        remove = remove | (rem_hit > 0)
 
     new_floes = floes._replace(
         collision_force=jnp.where(act[:, None], col_force, 0.0),
@@ -1140,6 +1190,7 @@ def timestep_collisions(
     )
     overflow = (
         pairs.overflow
+        | compact_overflow
         | (n_slow > slow_cap)
         | jnp.any(jnp.where(svalid, sregions.overflow, False))
     )

@@ -248,3 +248,59 @@ class TestInteractionRowGoldens:
         assert np.isclose(r["overlap"][k], 1704545.454, atol=1e-3)
         assert np.isclose(r["px"][k], 100166.666, atol=1e-3)
         assert np.isclose(r["py"][k], 21060.606, atol=1e-3)
+
+
+class TestCompactedNarrowPhase:
+    """The large-N path compacts the padded candidate list to its valid
+    pairs before the narrow phase (collisions.py: COMPACT_MIN_N).  Force the
+    threshold down and check it reproduces the row-structured path exactly
+    on mixed floe/wall/topo/periodic scenes."""
+
+    def _both(self, fl, domain, monkeypatch, pair_cap=64):
+        from subzero_tpu.physics import collisions as C
+
+        ref = collide(fl, domain, pair_cap)
+        monkeypatch.setattr(C, "COMPACT_MIN_N", 1)
+        got = collide(fl, domain, pair_cap)
+        return ref, got
+
+    def _check(self, ref, got):
+        np.testing.assert_allclose(
+            np.asarray(got.floes.collision_force),
+            np.asarray(ref.floes.collision_force), rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.floes.collision_trq),
+            np.asarray(ref.floes.collision_trq), rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.floes.overarea),
+            np.asarray(ref.floes.overarea), rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.stress_instant),
+            np.asarray(ref.stress_instant), rtol=1e-12,
+        )
+        assert np.array_equal(
+            np.asarray(got.floes.fuse_with), np.asarray(ref.floes.fuse_with)
+        )
+        assert np.array_equal(
+            np.asarray(got.floes.remove), np.asarray(ref.floes.remove)
+        )
+        assert bool(got.overflow) == bool(ref.overflow)
+
+    def test_floe_floe_and_walls(self, monkeypatch):
+        fl = floes_from([TRI, CORNER_RECT, CSHAPE], us=[0.1, 0.0, 0.3],
+                        vs=[0.0, -0.1, 0.0])
+        self._check(*self._both(fl, COLLISION_DOMAIN, monkeypatch))
+
+    def test_topo_periodic_open(self, monkeypatch):
+        small = [[9.5e4, 0.0], [9e4, 0.5e4], [10e4, 2.5e4], [10.05e4, 2e4]]
+        topo_hit = [[0.5e4, 0.2e4], [0.5e4, 1.5e4], [1.8e4, 1.5e4]]
+        fl = floes_from([small, topo_hit], us=[0.5, 0.0], vs=[0.25, 0.0])
+        self._check(*self._both(fl, TOPO_DOMAIN, monkeypatch))
+
+    def test_fuse_marks(self, monkeypatch):
+        shifted = [[x + 0.5e4, y] for x, y in CORNER_RECT]
+        fl = floes_from([CORNER_RECT, shifted], vs=[-0.1, -0.1])
+        self._check(*self._both(fl, OPEN_DOMAIN, monkeypatch))
