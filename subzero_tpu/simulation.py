@@ -397,7 +397,101 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
         or sim.simp_settings.smooth_vertices_on
         or sim.collision_settings.collisions_on  # fusing flags
     )
-    while tstep <= start_tstep + sim.n_dt:
+
+    # ---- device-resident segment batching ---------------------------------
+    # Between host events (writer intervals, lifecycle cadences) the steps
+    # run inside ONE jitted lax.while_loop, so the driver moves at scan
+    # speed instead of paying a host round-trip per step.  The loop exits
+    # early when collisions mark a fuse pair (the host fuse pass must run
+    # before the next step, matching the reference's same-step fusing,
+    # collisions.jl:364-368 -> simulation.jl:205-214).
+    use_segments = callback is None
+    pre_cads = []   # host needed BEFORE the step at multiples of these
+    post_cads = []  # host needed AFTER the step at multiples of these
+    if use_segments:
+        if sim.writers is not None:
+            for w in (sim.writers.floes, sim.writers.grid,
+                      sim.writers.checkpoint):
+                if w is not None:
+                    pre_cads.append(w.interval)
+        if sim.verbose:
+            pre_cads.append(50)
+        if rr_mid_step:
+            pre_cads.append(rr.dt)
+        elif rr.ridge_raft_on and rr.dt > 0:
+            post_cads.append(rr.dt)
+        fr = sim.fracture_settings
+        if fr.fractures_on and fr.dt > 0:
+            post_cads.append(fr.dt)
+        if sim.weld_settings.weld_on:
+            post_cads.extend(sim.weld_settings.dts)
+        if (
+            sim.simp_settings.smooth_vertices_on
+            and sim.simp_settings.dt_smooth > 0
+        ):
+            post_cads.append(sim.simp_settings.dt_smooth)
+
+        @jax.jit
+        def run_segment(floes, ocean, domain, t0, t_stop):
+            def cond_fn(c):
+                _, _, _, t, _, fuse = c
+                return (t < t_stop) & ~fuse
+
+            def body_fn(c):
+                fl, oc, dm, t, nov, _ = c
+                fl, dm, si, ov1 = collide(fl, oc, dm, t)
+                fl, oc, dm, ov2 = finish(fl, oc, dm, si, t)
+                fuse = jnp.any(fl.fuse_with >= 0)
+                nov = nov + (ov1 | ov2).astype(jnp.int32)
+                return (fl, oc, dm, t + 1, nov, fuse)
+
+            return jax.lax.while_loop(
+                cond_fn, body_fn,
+                (floes, ocean, domain, t0,
+                 jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+            )
+
+    def _next_on(t, c, skip_zero):
+        # smallest s >= t with s % c == 0 (writers fire at s == 0 too;
+        # lifecycle cadences require s > 0)
+        s = ((t + c - 1) // c) * c
+        return c if (skip_zero and s == 0) else s
+
+    end_tstep = start_tstep + sim.n_dt
+    while tstep <= end_tstep:
+        if use_segments:
+            # stop BEFORE any event step: pre events need the host before
+            # the step runs; post events (lifecycle cadences) need their
+            # host pass right after it, which the single-step path below
+            # provides
+            t_stop = end_tstep + 1
+            for c in pre_cads:
+                t_stop = min(t_stop, _next_on(tstep, c, skip_zero=False))
+            for c in post_cads:
+                t_stop = min(t_stop, _next_on(tstep, c, skip_zero=True))
+            if t_stop > tstep:
+                fl, oc, dm, t_dev, nov, fuse = run_segment(
+                    floes, ocean, domain,
+                    jnp.asarray(tstep, jnp.int32),
+                    jnp.asarray(t_stop, jnp.int32),
+                )
+                floes, ocean, domain = fl, oc, dm
+                nov = int(nov)
+                tstep = int(t_dev)
+                if nov:
+                    n_overflow += nov
+                    logger.warn(
+                        f"pair/crossing capacity exceeded on {nov} of the "
+                        f"last {tstep} steps; contact forces may be "
+                        "incomplete",
+                        tstep - 1,
+                    )
+                if bool(fuse) and has_host_ops:
+                    floes, state["max_floe_id"] = _lifecycle.fuse_floes(
+                        floes, state["max_floe_id"], sim.floe_settings,
+                        float(sim.dt), rng,
+                    )
+                continue  # tstep now sits on a host event (or past the end)
         if sim.verbose and tstep % 50 == 0:
             print(f"{tstep} timesteps")
         if callback is not None:
