@@ -18,6 +18,12 @@ counts broad-phase candidate pairs processed through the contact kernel.
 ``detail`` carries a per-phase breakdown (collisions / coupling / other)
 measured by scan-timing the step with each phase toggled off.
 
+Scan lengths are sized so the per-dispatch fixed cost (~20 ms measured on
+the tunnel by tools/probe_fixedcost.py: host->TPU launch round-trip,
+independent of scan length) is <3% of the block: the metric is per-step
+device throughput, which is what a production driver sees (run/run_scan
+amortize dispatch over the whole segment between host events).
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": ...}
 """
@@ -118,10 +124,12 @@ def measure(sim, n_steps=50):
 
     fl1, oc1, dm1 = run_block(fl, oc, dm, jnp.asarray(1))
     jax.block_until_ready(fl1.centroid)
-    t0 = time.perf_counter()
-    fl1, oc1, dm1 = run_block(fl, oc, dm, jnp.asarray(1))
-    jax.block_until_ready(fl1.centroid)
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for _ in range(2):  # min over reps: tunnel jitter is one-sided noise
+        t0 = time.perf_counter()
+        fl1, oc1, dm1 = run_block(fl, oc, dm, jnp.asarray(1))
+        jax.block_until_ready(fl1.centroid)
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     steps_per_s = n_steps / elapsed
     return {
@@ -140,27 +148,29 @@ def main():
 
     configs = {
         # reference's largest example scale, full shear_flow.jl physics
-        "shear_flow_500": dict(n=500, L=1e5, bins=False),
+        "shear_flow_500": dict(n=500, L=1e5, bins=False, n_steps=400),
         # 4x the floes at the same floe scale, dense broad phase
-        "many_floes_2000": dict(n=2000, L=2e5, bins=False),
+        "many_floes_2000": dict(n=2000, L=2e5, bins=False, n_steps=150),
         # 16x the floes, binned O(N*M) broad phase
-        "many_floes_8000": dict(n=8000, L=4e5, bins=True),
+        "many_floes_8000": dict(n=8000, L=4e5, bins=True, n_steps=50),
     }
     detail = {"device": str(jax.devices()[0])}
     best_name, best = None, None
     for name, cfg in configs.items():
         sim = build_sim(cfg["n"], cfg["L"], 2e3, bins=cfg["bins"])
-        r = measure(sim)
+        r = measure(sim, n_steps=cfg["n_steps"])
         r["pairs_per_s"] = round(r["pairs_per_s"], 1)
         # per-phase breakdown by toggling phases off (scan-timed)
         if name == "shear_flow_500":
             no_cpl = measure(
                 build_sim(cfg["n"], cfg["L"], 2e3, bins=cfg["bins"],
-                          coupling=False)
+                          coupling=False),
+                n_steps=cfg["n_steps"],
             )
             no_col = measure(
                 build_sim(cfg["n"], cfg["L"], 2e3, bins=cfg["bins"],
-                          collisions=False)
+                          collisions=False),
+                n_steps=cfg["n_steps"],
             )
             col_ms = round(r["step_ms"] - no_col["step_ms"], 4)
             cpl_ms = round(r["step_ms"] - no_cpl["step_ms"], 4)

@@ -95,13 +95,35 @@ def _rank_select_rows(mask, row_cap):
     """Per-row compaction of a boolean [N, C] candidate matrix: sel[i, k] =
     column of the (k+1)-th True in row i (or C if the row has fewer).
 
-    Implemented with one ``top_k`` over descending-priority keys (smallest
-    True column first) - a single fused TPU op, versus the row_cap masked
-    [row_cap, N, C] count-reductions of the cumsum formulation.
+    Two formulations, chosen by shape (tools/probe_rankselect.py, TPU v5e):
+
+      * ``top_k`` over descending-priority keys - one fused op whose sort
+        cost scales with C only; wins on wide rows (dense [N, ~N] masks).
+      * cumsum rank + fused compare-reduce over [N, C, row_cap] - no sort;
+        wins on the binned shapes (bin-member [NB, N] k=M: 2.25 -> 0.86 ms,
+        neighborhood [N, 9M] k=16: 1.54 -> 0.31 ms) but loses when
+        C * row_cap grows past ~10^6 per row block.
 
     Returns (sel [N, row_cap] int32, valid [N, row_cap], overflow [])."""
     N, C = mask.shape
     col = jnp.arange(C, dtype=jnp.int32)
+    row_tot = jnp.sum(mask.astype(jnp.int32), axis=1)
+    overflow = jnp.any(row_tot > row_cap)
+    # total compare-reduce work N*C*row_cap decides: the binned shapes sit
+    # well below this, the large dense [N, ~N] masks above it
+    if N * C * row_cap <= 3 << 27:
+        cs = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+        rank = cs * mask  # [N, C]; 0 on non-candidates
+        hit = (
+            rank[:, :, None]
+            == (jnp.arange(row_cap, dtype=jnp.int32) + 1)[None, None, :]
+        )
+        sel = jnp.sum(
+            jnp.where(hit, col[None, :, None], 0), axis=1, dtype=jnp.int32
+        )
+        valid = jnp.arange(row_cap)[None, :] < cs[:, -1:]
+        sel = jnp.where(valid, sel, C)
+        return sel, valid, overflow
     # key > 0 iff candidate; larger key = smaller column index
     key = jnp.where(mask, C - col, 0)
     if row_cap > C:  # tiny pools: top_k needs k <= width
@@ -109,8 +131,6 @@ def _rank_select_rows(mask, row_cap):
     topv, _ = jax.lax.top_k(key, row_cap)  # [N, row_cap], descending
     valid = topv > 0
     sel = jnp.where(valid, C - topv, C)
-    row_tot = jnp.sum(mask.astype(jnp.int32), axis=1)
-    overflow = jnp.any(row_tot > row_cap)
     return sel.astype(jnp.int32), valid, overflow
 
 

@@ -56,12 +56,16 @@ def _bilinear(field, gx, gy, grid: RegRectilinearGrid, ew_periodic, ns_periodic)
     iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, grid.Ny - 1)
     wx = fx - ix
     wy = fy - iy
-    ix1 = ix + 1
-    iy1 = iy + 1
-    f00 = field[ix, iy]
-    f10 = field[ix1, iy]
-    f01 = field[ix, iy1]
-    f11 = field[ix1, iy1]
+    # flattened base index: four 1-D row gathers from [(Nx+1)*(Ny+1), F]
+    # instead of 2-D advanced indexing - the 2-D gather lowering was 2.2x
+    # slower on TPU (tools/probe_interp.py; 32.4 -> 14.4 ms at 1.4M points)
+    GY = grid.Ny + 1
+    flat = field.reshape((grid.Nx + 1) * GY, *field.shape[2:])
+    k00 = ix * GY + iy
+    f00 = flat[k00]
+    f10 = flat[k00 + GY]
+    f01 = flat[k00 + 1]
+    f11 = flat[k00 + GY + 1]
     if field.ndim == 3:
         wx = wx[..., None]
         wy = wy[..., None]

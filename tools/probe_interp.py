@@ -17,17 +17,22 @@ import time
 sys.path.insert(0, ".")
 
 
-def scan_time(fn, args, n_iter=50):
+def scan_time(fn, args, n_iter=200):
+    """Times fn inside a lax.scan, perturbing the point coordinates per
+    iteration so the body is not loop-invariant (XLA would hoist it)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(a):
-        def f(acc, _):
-            out = fn(*a)
+        fx, fy = a
+
+        def f(acc, k):
+            eps = (k % 2).astype(fx.dtype) * 1e-6
+            out = fn(fx + eps, fy + eps)
             return acc + jnp.sum(out) * 1e-30, ()
 
-        acc, _ = jax.lax.scan(f, jnp.zeros((), a[1].dtype), jnp.arange(n_iter))
+        acc, _ = jax.lax.scan(f, jnp.zeros((), fx.dtype), jnp.arange(n_iter))
         return acc
 
     acc = run(args)

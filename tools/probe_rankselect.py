@@ -15,23 +15,31 @@ import time
 sys.path.insert(0, ".")
 
 
-def scan_time(fn, args, n_iter=50):
+def scan_time(fn, args, n_iter=200):
+    """Times fn inside a lax.scan.  The input mask is xor-perturbed with a
+    per-iteration column so the body is NOT loop-invariant (XLA hoists
+    invariant computations out of the scan, which silently times nothing)."""
     import jax
     import jax.numpy as jnp
 
+    (mask,) = args
+    C = mask.shape[1]
+    col = jnp.arange(C, dtype=jnp.int32)
+
     @jax.jit
-    def run(a):
-        def f(acc, _):
-            out = fn(*a)
+    def run(mask):
+        def f(acc, k):
+            m = mask ^ (col[None, :] == k)
+            out = fn(m)
             return acc + out[0].astype(jnp.float32).sum() * 1e-30, ()
 
         acc, _ = jax.lax.scan(f, jnp.zeros((), jnp.float32), jnp.arange(n_iter))
         return acc
 
-    acc = run(args)
+    acc = run(mask)
     jax.block_until_ready(acc)
     t0 = time.perf_counter()
-    jax.block_until_ready(run(args))
+    jax.block_until_ready(run(mask))
     return (time.perf_counter() - t0) / n_iter * 1e3
 
 

@@ -9,6 +9,8 @@ marginal cost of each stage is visible at the scale where it matters.
 """
 
 import sys
+
+sys.path.insert(0, ".")
 import time
 
 

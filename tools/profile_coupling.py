@@ -1,12 +1,8 @@
 #!/usr/bin/env python
-"""Coupling-phase timings at bench configs, plus 8000-step phase toggles.
-
-Times (scan of 20 iterations, jitted):
-  * one-way coupling alone
-  * full two-way coupling (one-way + deposition + cell clip + assembly)
-  * the [N,P,CW] one-hot deposition contraction alone
-  * the [N,cap,cap] clamped-shoelace cell clip alone
-at the shear_flow_500 scale, then whole-step phase toggles at 8000.
+"""Coupling-phase timings at bench configs (one-way / two-way / deposition
+one-hot / cell clip), at N=500 and N=8000.  Scan-timed with per-iteration
+perturbation (loop-invariant bodies get hoisted) and enough iterations to
+amortize the dispatch fixed cost.
 
   nohup /tmp/run_tpu.sh /tmp/prof_cpl.log 2400 tools/profile_coupling.py &
 """
@@ -17,7 +13,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def scan_time(body, fl, n_iter=20):
+def scan_time(body, fl, n_iter):
     import jax
     import jax.numpy as jnp
 
@@ -43,21 +39,21 @@ def scan_time(body, fl, n_iter=20):
     return (time.perf_counter() - t0) / n_iter * 1e3
 
 
-def main():
+def profile_config(n, L, n_iter):
     import jax
     import jax.numpy as jnp
 
     import bench
     from subzero_tpu.physics import coupling as CPL
 
-    sim = bench.build_sim(500, 1e5, 2e3)
+    sim = bench.build_sim(n, L, 2e3)
     m = sim.model
     fl, oc, at, gr, dm = m.floes, m.ocean, m.atmos, m.grid, m.domain
     consts, fs = sim.consts, sim.floe_settings
     cap = sim.cell_cap
     print(
-        f"device={jax.devices()[0]} N={fl.capacity} P={fl.sub_x.shape[1]} "
-        f"cell_cap={cap} grid={gr.Nx}x{gr.Ny}",
+        f"--- N={fl.capacity} P={fl.sub_x.shape[1]} cell_cap={cap} "
+        f"grid={gr.Nx}x{gr.Ny} n_iter={n_iter}",
         flush=True,
     )
 
@@ -65,7 +61,7 @@ def main():
         r = CPL.calc_one_way_coupling(f, gr, dm, oc, at, consts)
         return jnp.sum(r.floes.fx_oa).astype(jnp.float32)
 
-    print(f"one-way:        {scan_time(oneway, fl):8.3f} ms", flush=True)
+    print(f"one-way:        {scan_time(oneway, fl, n_iter):8.3f} ms", flush=True)
 
     def full(f):
         r = CPL.timestep_coupling(
@@ -74,13 +70,19 @@ def main():
         )
         return jnp.sum(r[1].tau_x).astype(jnp.float32)
 
-    print(f"full coupling:  {scan_time(full, fl):8.3f} ms", flush=True)
+    print(f"full coupling:  {scan_time(full, fl, n_iter):8.3f} ms", flush=True)
 
-    ow = CPL.calc_one_way_coupling(fl, gr, dm, oc, at, consts)
+    def twoway_only(f):
+        ow = CPL.calc_one_way_coupling(f, gr, dm, oc, at, consts)
+        o2, _ = CPL.calc_two_way_coupling(
+            ow, gr, dm, oc, at, consts, fs, float(sim.dt), cap
+        )
+        return (jnp.sum(o2.tau_x) - jnp.sum(ow.floes.fx_oa) * 0.0).astype(
+            jnp.float32
+        )
 
     def deposit(f):
-        ow_ = ow._replace(floes=f)
-        N, P = ow_.pt_x.shape
+        ow_ = CPL.calc_one_way_coupling(f, gr, dm, oc, at, consts)
         cx0 = jnp.floor((f.centroid[:, 0] - gr.x0) / gr.dx + 0.5).astype(jnp.int32)
         cy0 = jnp.floor((f.centroid[:, 1] - gr.y0) / gr.dy + 0.5).astype(jnp.int32)
         half = cap // 2
@@ -110,41 +112,19 @@ def main():
         )
         return jnp.sum(sums).astype(jnp.float32)
 
-    print(f"  deposit 1hot: {scan_time(deposit, fl):8.3f} ms", flush=True)
+    ow1 = scan_time(oneway, fl, n_iter)
+    print(f"  two-way part: {scan_time(twoway_only, fl, n_iter) - ow1:8.3f} ms"
+          " (full minus its one-way, approx)", flush=True)
+    print(f"  ow+deposit:   {scan_time(deposit, fl, n_iter) - ow1:8.3f} ms",
+          flush=True)
 
-    def cellclip(f):
-        N = f.capacity
-        cx0 = jnp.floor((f.centroid[:, 0] - gr.x0) / gr.dx + 0.5).astype(jnp.int32)
-        cy0 = jnp.floor((f.centroid[:, 1] - gr.y0) / gr.dy + 0.5).astype(jnp.int32)
-        half = cap // 2
-        offs = jnp.arange(cap) - half
-        wx = cx0[:, None] + offs[None, :]
-        wy = cy0[:, None] + offs[None, :]
-        xmin = (wx[:, :, None] - 0.5) * gr.dx + gr.x0
-        xmax = xmin + gr.dx
-        ymin = (wy[:, None, :] - 0.5) * gr.dy + gr.y0
-        ymax = ymin + gr.dy
-        xmin = jnp.broadcast_to(xmin, (N, cap, cap))
-        xmax = jnp.broadcast_to(xmax, (N, cap, cap))
-        ymin = jnp.broadcast_to(ymin, (N, cap, cap))
-        ymax = jnp.broadcast_to(ymax, (N, cap, cap))
-        ok = jnp.broadcast_to(f.active[:, None, None], (N, cap, cap))
-        area = CPL._clip_area_to_rects(
-            f.verts[:, :16], f.nverts, xmin, xmax, ymin, ymax, ok
-        )
-        return jnp.sum(area).astype(jnp.float32)
 
-    print(f"  cell clip:    {scan_time(cellclip, fl):8.3f} ms", flush=True)
+def main():
+    import jax
 
-    # ---- 8000 phase toggles ------------------------------------------------
-    for name, kw in (
-        ("8000 full", {}),
-        ("8000 no-coupling", dict(coupling=False)),
-        ("8000 no-collisions", dict(collisions=False)),
-    ):
-        sim8 = bench.build_sim(8000, 4e5, 2e3, bins=True, **kw)
-        r = bench.measure(sim8, n_steps=20)
-        print(f"{name}: step {r['step_ms']} ms", flush=True)
+    print("device:", jax.devices()[0], flush=True)
+    profile_config(500, 1e5, 200)
+    profile_config(8000, 4e5, 30)
 
 
 if __name__ == "__main__":
