@@ -55,8 +55,13 @@ WALL_OFFSET = 0  # computed at runtime as N
 
 # Pool size above which the narrow phase compacts the padded candidate list
 # down to its valid pairs before gathering (see timestep_collisions).  Module
-# constant so tests can exercise the compacted path at small N.
-COMPACT_MIN_N = 4096
+# constant so tests can exercise the compacted path at small N.  Disabled by
+# default: at N=8016 (pair_cap 16N, ~28k valid of 128k rows) compaction
+# measured net-NEGATIVE on TPU v5e (collisions 16.8 -> 18.2 ms) - the i-side
+# row gathers + sized-nonzero it adds cost more than the j-side padding-row
+# gathers it removes.  Kept (equivalence-tested) for pools where the valid
+# fraction is far lower than 1/row_cap.
+COMPACT_MIN_N = 1 << 30
 
 
 class PairArrays(NamedTuple):

@@ -255,27 +255,34 @@ def calc_two_way_coupling(
     in_win = (kx >= 0) & (kx < cell_cap) & (ky >= 0) & (ky < cell_cap)
     win_overflow = jnp.any(one_way.pt_mask & ~in_win)
     wmask = one_way.pt_mask & in_win
-    CW = cell_cap * cell_cap
-    # per-(floe, window-cell) deposition as a batched one-hot contraction
-    # ([N, CW, P] x [N, P, 3] on the MXU) - a segment_sum here serializes on
-    # TPU (CellStresses' add_point!, oceans.jl:4-8, coupling.jl:1329-1384)
+    # separable per-axis one-hot deposition (CellStresses' add_point!,
+    # oceans.jl:4-8, coupling.jl:1329-1384): y-axis one-hot broadcast onto
+    # the payload, then ONE batched MXU contraction over points with the
+    # x-axis one-hot.  Replaces the joint [N, P, cap^2] window one-hot
+    # (2.1 GB of HBM traffic at N=8k, grid 200x200) with two [N, P, cap]
+    # one-hots and a [N, P, cap*3] intermediate - ~6x less traffic.  A
+    # segment_sum here serializes on TPU.  HIGHEST precision keeps the
+    # f32 contraction exact (TPU matmuls default to a lossy bf16 pass).
     dtypef = one_way.pt_x.dtype
-    wk = jnp.where(wmask, kx * cell_cap + ky, CW)
-    onehot = (
-        wk[:, :, None] == jnp.arange(CW, dtype=wk.dtype)[None, None, :]
-    ).astype(dtypef)  # [N, P, CW]
+    ar = jnp.arange(cell_cap, dtype=jnp.int32)
+    ohx = ((kx[:, :, None] == ar) & wmask[:, :, None]).astype(dtypef)
+    ohy = (ky[:, :, None] == ar).astype(dtypef)  # [N, P, cap]
     payload = jnp.stack(
         [
-            jnp.where(wmask, -one_way.pt_tau_x_ocn, 0.0),
-            jnp.where(wmask, -one_way.pt_tau_y_ocn, 0.0),
-            wmask.astype(dtypef),
+            -one_way.pt_tau_x_ocn,
+            -one_way.pt_tau_y_ocn,
+            jnp.ones_like(one_way.pt_x),
         ],
         axis=-1,
-    )  # [N, P, 3]
+    )  # [N, P, 3]; masked points drop out through the ohx zero rows
+    z = (ohy[:, :, :, None] * payload[:, :, None, :]).reshape(
+        N, P, cell_cap * 3
+    )
     sums = jax.lax.dot_general(
-        onehot, payload, (((1,), (1,)), ((0,), (0,))),
+        ohx, z, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=dtypef,
-    )  # [N, CW, 3]
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N, cap, cap*3]
     sums = sums.reshape(N, cell_cap, cell_cap, 3)
     tx_pair = sums[..., 0]
     ty_pair = sums[..., 1]
@@ -360,26 +367,27 @@ def calc_two_way_coupling(
     cell_flat = ixs * NCy + iys
 
     w_area = jnp.where(pair_ok & (area_in_cell > 0), area_in_cell, 0.0)
-    tau_x_cell = jax.ops.segment_sum(
-        (tx_pair / np_pair_safe * w_area).reshape(-1),
-        cell_flat.reshape(-1),
-        num_segments=C,
-    )
-    tau_y_cell = jax.ops.segment_sum(
-        (ty_pair / np_pair_safe * w_area).reshape(-1),
-        cell_flat.reshape(-1),
-        num_segments=C,
-    )
-    ice_area_cell = jax.ops.segment_sum(
-        w_area.reshape(-1), cell_flat.reshape(-1), num_segments=C
+    # one stacked segment_sum (scatter rows serialize on TPU; one pass over
+    # [N*cap^2, 3] beats three passes over [N*cap^2])
+    cell_pay = jnp.stack(
+        [
+            tx_pair / np_pair_safe * w_area,
+            ty_pair / np_pair_safe * w_area,
+            w_area,
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    cell_sums = jax.ops.segment_sum(
+        cell_pay, cell_flat.reshape(-1), num_segments=C
     )
 
     if axis_name is not None:
         # cross-shard reduction BEFORE the area-weighted division (the
         # division is nonlinear, so partial sums must be combined first)
-        tau_x_cell = jax.lax.psum(tau_x_cell, axis_name)
-        tau_y_cell = jax.lax.psum(tau_y_cell, axis_name)
-        ice_area_cell = jax.lax.psum(ice_area_cell, axis_name)
+        cell_sums = jax.lax.psum(cell_sums, axis_name)
+    tau_x_cell = cell_sums[:, 0]
+    tau_y_cell = cell_sums[:, 1]
+    ice_area_cell = cell_sums[:, 2]
 
     tau_x = jnp.where(ice_area_cell > 0, tau_x_cell / jnp.where(ice_area_cell > 0, ice_area_cell, 1.0), 0.0)
     tau_y = jnp.where(ice_area_cell > 0, tau_y_cell / jnp.where(ice_area_cell > 0, ice_area_cell, 1.0), 0.0)
