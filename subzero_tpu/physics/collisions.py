@@ -96,7 +96,7 @@ def find_candidate_pairs(
     return _find_candidate_pairs_dense(floes, domain, pair_cap)
 
 
-def _rank_select_rows(mask, row_cap):
+def _rank_select_rows(mask, row_cap, extra_cap=0):
     """Per-row compaction of a boolean [N, C] candidate matrix: sel[i, k] =
     column of the (k+1)-th True in row i (or C if the row has fewer).
 
@@ -109,11 +109,54 @@ def _rank_select_rows(mask, row_cap):
         neighborhood [N, 9M] k=16: 1.54 -> 0.31 ms) but loses when
         C * row_cap grows past ~10^6 per row block.
 
-    Returns (sel [N, row_cap] int32, valid [N, row_cap], overflow [])."""
+    ``extra_cap`` > 0 additionally compacts the candidates that did NOT fit
+    their row (rank > row_cap) into a global second-chance list: rows hold
+    the per-floe typical degree while the rare deep rows (dense contact
+    clusters) spill here instead of being dropped.
+
+    Returns (sel [N, row_cap] int32, valid [N, row_cap], overflow [],
+    extra_pos [extra_cap] int32 flat positions into mask or N*C when
+    unused) - overflow fires only when even the extra list truncates."""
     N, C = mask.shape
     col = jnp.arange(C, dtype=jnp.int32)
     row_tot = jnp.sum(mask.astype(jnp.int32), axis=1)
-    overflow = jnp.any(row_tot > row_cap)
+    if extra_cap > 0:
+        # two-stage spill selection.  A flat nonzero over [N*C] lowers to a
+        # serialized TPU scatter (measured 45 ms at [8016, 598]); instead:
+        # (1) per-row compare-reduce picks up to D_SPILL dropped columns
+        # (cheap [N, C, D] fused pass), (2) one small sized-nonzero over
+        # [N * D_SPILL] compacts them globally.
+        D_SPILL = 4
+        n_drop = jnp.sum(
+            jnp.minimum(jnp.maximum(row_tot - row_cap, 0), D_SPILL)
+        )
+        overflow = (n_drop > extra_cap) | jnp.any(
+            row_tot > row_cap + D_SPILL
+        )
+        cs_d = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+        rank_d = jnp.where(mask, cs_d - row_cap, 0)  # 1.. for spilled cols
+        hitd = (
+            rank_d[:, :, None]
+            == (jnp.arange(D_SPILL, dtype=jnp.int32) + 1)[None, None, :]
+        )
+        dcols = jnp.sum(
+            jnp.where(hitd, col[None, :, None], 0), axis=1, dtype=jnp.int32
+        )  # [N, D_SPILL]
+        dvalid = (
+            jnp.arange(D_SPILL)[None, :]
+            < jnp.maximum(row_tot - row_cap, 0)[:, None]
+        )
+        flat = jnp.where(
+            dvalid, jnp.arange(N, dtype=jnp.int32)[:, None] * C + dcols,
+            N * C,
+        ).reshape(-1)
+        (esel,) = jnp.nonzero(flat < N * C, size=extra_cap, fill_value=N * D_SPILL)
+        extra_pos = jnp.where(
+            esel < N * D_SPILL, flat[jnp.minimum(esel, N * D_SPILL - 1)], N * C
+        ).astype(jnp.int32)
+    else:
+        overflow = jnp.any(row_tot > row_cap)
+        extra_pos = jnp.full((0,), N * C, jnp.int32)
     # total compare-reduce work N*C*row_cap decides: the binned shapes sit
     # well below this, the large dense [N, ~N] masks above it
     if N * C * row_cap <= 3 << 27:
@@ -128,7 +171,7 @@ def _rank_select_rows(mask, row_cap):
         )
         valid = jnp.arange(row_cap)[None, :] < cs[:, -1:]
         sel = jnp.where(valid, sel, C)
-        return sel, valid, overflow
+        return sel, valid, overflow, extra_pos
     # key > 0 iff candidate; larger key = smaller column index
     key = jnp.where(mask, C - col, 0)
     if row_cap > C:  # tiny pools: top_k needs k <= width
@@ -136,7 +179,15 @@ def _rank_select_rows(mask, row_cap):
     topv, _ = jax.lax.top_k(key, row_cap)  # [N, row_cap], descending
     valid = topv > 0
     sel = jnp.where(valid, C - topv, C)
-    return sel.astype(jnp.int32), valid, overflow
+    return sel.astype(jnp.int32), valid, overflow, extra_pos
+
+
+def _extra_cap(N):
+    """Second-chance list capacity: spill slots for candidates beyond a
+    floe's row_cap (dense contact clusters).  A fixed function of N so
+    consumers can recover the list layout from PC alone:
+    PC = N * row_cap + _extra_cap(N)."""
+    return max(N // 2, 64)
 
 
 def _wall_topo_masks(floes, domain):
@@ -218,7 +269,8 @@ def _find_candidate_pairs_dense(
     mask = jnp.concatenate([pair_mask, fw, ft], axis=1)
     NQ = N + 4 + T
     row_cap = max(min(pair_cap // max(N, 1), NQ), 8)
-    sel, valid, overflow = _rank_select_rows(mask, row_cap)
+    E = _extra_cap(N)
+    sel, valid, overflow, epos = _rank_select_rows(mask, row_cap, extra_cap=E)
 
     qi = jnp.broadcast_to(iidx[:, None], (N, row_cap)).reshape(-1).astype(jnp.int32)
     qj = jnp.minimum(sel, NQ - 1).reshape(-1).astype(jnp.int32)
@@ -231,8 +283,25 @@ def _find_candidate_pairs_dense(
         jnp.stack([sxg, syg], axis=-1),
         0.0,
     )
+
+    # second-chance block: flat positions into [N, NQ]
+    evalid = epos < N * NQ
+    eps_ = jnp.minimum(epos, N * NQ - 1)
+    ei = jnp.where(evalid, eps_ // NQ, N - 1).astype(jnp.int32)
+    ecol = jnp.where(evalid, eps_ % NQ, N - 1).astype(jnp.int32)
+    e_is_ff = ecol < N
+    ejsafe = jnp.minimum(ecol, N - 1)
+    esx = sx.reshape(-1)[ei * N + ejsafe]
+    esy = sy.reshape(-1)[ei * N + ejsafe]
+    eshift = jnp.where(
+        (e_is_ff & evalid)[:, None], jnp.stack([esx, esy], axis=-1), 0.0
+    )
     return PairArrays(
-        qi=qi, qj=qj, shift=shift, valid=valid.reshape(-1), overflow=overflow
+        qi=jnp.concatenate([qi, ei]),
+        qj=jnp.concatenate([qj, jnp.minimum(ecol, NQ - 1)]),
+        shift=jnp.concatenate([shift, eshift], axis=0),
+        valid=jnp.concatenate([valid.reshape(-1), evalid]),
+        overflow=overflow,
     )
 
 
@@ -268,7 +337,7 @@ def _find_candidate_pairs_binned(
     # runtime under lax.scan; top_k over the [NB, N] membership matrix is a
     # single well-supported fused op
     member = bin_id[None, :] == jnp.arange(NB, dtype=bin_id.dtype)[:, None]
-    mem_sel, mem_valid, bin_overflow = _rank_select_rows(member, M)  # [NB, M]
+    mem_sel, mem_valid, bin_overflow, _ = _rank_select_rows(member, M)  # [NB, M]
 
     # 3x3 neighbor bins
     offs = jnp.asarray([-1, 0, 1])
@@ -337,9 +406,13 @@ def _find_candidate_pairs_binned(
 
     # unified candidate matrix: [N, 9M | 4 walls | T topo]
     CFF = 9 * M
+    C2 = CFF + 4 + T
     full_mask = jnp.concatenate([mask.reshape(N, CFF), fw, ft], axis=1)
-    row_cap = max(min(pair_cap // max(N, 1), CFF + 4 + T), 8)
-    sel, valid, sel_overflow = _rank_select_rows(full_mask, row_cap)
+    row_cap = max(min(pair_cap // max(N, 1), C2), 8)
+    E = _extra_cap(N)
+    sel, valid, sel_overflow, epos = _rank_select_rows(
+        full_mask, row_cap, extra_cap=E
+    )
     overflow = bin_overflow | sel_overflow
 
     is_ff = sel < CFF
@@ -363,8 +436,30 @@ def _find_candidate_pairs_binned(
         jnp.stack([sxg.reshape(-1), syg.reshape(-1)], axis=-1),
         0.0,
     )
+
+    # second-chance block: flat positions into [N, C2]
+    evalid = epos < N * C2
+    eps_ = jnp.minimum(epos, N * C2 - 1)
+    ei = jnp.where(evalid, eps_ // C2, N - 1).astype(jnp.int32)
+    ecol = jnp.where(evalid, eps_ % C2, 0).astype(jnp.int32)
+    e_is_ff = ecol < CFF
+    eflat = ei * CFF + jnp.minimum(ecol, CFF - 1)
+    ej_ff = j_cand.reshape(-1)[eflat]
+    ej = jnp.where(
+        e_is_ff, ej_ff, jnp.minimum(N + jnp.maximum(ecol - CFF, 0), N + 3 + T)
+    ).astype(jnp.int32)
+    ej = jnp.where(evalid, ej, N - 1)
+    esx = sx.reshape(-1)[eflat]
+    esy = sy.reshape(-1)[eflat]
+    eshift = jnp.where(
+        (e_is_ff & evalid)[:, None], jnp.stack([esx, esy], axis=-1), 0.0
+    )
     return PairArrays(
-        qi=qi, qj=qj, shift=shift, valid=valid.reshape(-1), overflow=overflow
+        qi=jnp.concatenate([qi, ei]),
+        qj=jnp.concatenate([qj, ej]),
+        shift=jnp.concatenate([shift, eshift], axis=0),
+        valid=jnp.concatenate([valid.reshape(-1), evalid]),
+        overflow=overflow,
     )
 
 
@@ -516,8 +611,9 @@ def pair_interactions(
     q_table = _q_table(floes, domain, q_n, q_cent, dtype)
 
     i0, j0, pvalid0 = pairs.qi, pairs.qj, pairs.valid
-    row_cap0 = PC // N
-    sides0 = _gather_sides(floes, q_table, i0, j0, row_cap=row_cap0)
+    # writer-cadence path: plain gathers, no row-layout assumptions (the
+    # candidate list is hybrid: row block + second-chance entries)
+    sides0 = _gather_sides(floes, q_table, i0, j0)
     eps_rel = 1e-9 if dtype == jnp.float64 else 2e-6
     perturb0 = eps_rel * (
         sides0.rmax_i + jnp.where(sides0.is_floe_j, sides0.rmax_j, sides0.rmax_i)
@@ -670,10 +766,19 @@ def _gather_sides(
     N = floes.capacity
 
     if row_cap is not None:
+        # hybrid layout: the first N*row_cap entries are row-structured
+        # (i == k // row_cap -> broadcast, no gather); any remaining
+        # second-chance entries carry arbitrary i and are gathered
+        R = N * row_cap
+        E = i.shape[0] - R
+
         def bi(x):
-            return jnp.broadcast_to(
+            b = jnp.broadcast_to(
                 x[:, None], (N, row_cap) + x.shape[1:]
-            ).reshape((N * row_cap,) + x.shape[1:])
+            ).reshape((R,) + x.shape[1:])
+            if E == 0:
+                return b
+            return jnp.concatenate([b, x[i[R:]]], axis=0)
     else:
         def bi(x):
             return x[i]
@@ -906,7 +1011,11 @@ def _accumulate_contacts(
     pay_j = jnp.where(is_ff[:, None], pay_j, 0.0)
 
     if row_cap is not None:
-        acc_i = jnp.sum(pay_i.reshape(N, row_cap, -1), axis=1)  # [N, 7]
+        R = N * row_cap
+        acc_i = jnp.sum(pay_i[:R].reshape(N, row_cap, -1), axis=1)  # [N, 7]
+        if K > R:  # second-chance entries: arbitrary i
+            seg_ie = jnp.where(pair_valid[R:], i[R:], N).astype(jnp.int32)
+            acc_i = acc_i + _onehot_sum(pay_i[R:], seg_ie, N)
     else:
         seg_i = jnp.where(pair_valid, i, N).astype(jnp.int32)
         acc_i = _onehot_sum(pay_i, seg_i, N)
@@ -1019,7 +1128,9 @@ def timestep_collisions(
         PC = KC
         row_cap0 = None
     else:
-        row_cap0 = PC // N
+        # hybrid layout from find_candidate_pairs: N*row_cap row-structured
+        # entries followed by _extra_cap(N) second-chance entries
+        row_cap0 = (PC - _extra_cap(N)) // N
     sides0 = _gather_sides(floes, q_table, i0, j0, row_cap=row_cap0)
 
     # deterministic degeneracy-breaking perturbation, scaled to the pair
@@ -1035,10 +1146,14 @@ def timestep_collisions(
     # contraction it replaces, which materializes PC x NQ and grows
     # quadratic-ish with pool size)
     if row_cap0 is not None:
+        R0 = N * row_cap0
         pv0 = jnp.broadcast_to(
             floes.verts[:, None], (N, row_cap0, V, 2)
-        ).reshape(PC, V, 2)
-        pn0 = jnp.broadcast_to(floes.nverts[:, None], (N, row_cap0)).reshape(PC)
+        ).reshape(R0, V, 2)
+        pn0 = jnp.broadcast_to(floes.nverts[:, None], (N, row_cap0)).reshape(R0)
+        if PC > R0:  # second-chance entries: arbitrary i, gathered
+            pv0 = jnp.concatenate([pv0, floes.verts[i0[R0:]]], axis=0)
+            pn0 = jnp.concatenate([pn0, floes.nverts[i0[R0:]]], axis=0)
     else:
         pv0 = floes.verts[i0]
         pn0 = floes.nverts[i0]
@@ -1185,14 +1300,30 @@ def timestep_collisions(
     # processes a marked pair from either endpoint, so the reference's
     # both-floes-marked bookkeeping (collisions.jl:364-368) is redundant.
     if row_cap0 is not None:
-        fuse_i = jnp.any(fuse_pair0.reshape(N, row_cap0), axis=1)
+        R0 = N * row_cap0
+        fp_row = fuse_pair0[:R0].reshape(N, row_cap0)
+        fuse_i = jnp.any(fp_row, axis=1)
         fw_i = jnp.max(
-            jnp.where(fuse_pair0, j0, -1).reshape(N, row_cap0), axis=1
+            jnp.where(fp_row, j0[:R0].reshape(N, row_cap0), -1), axis=1
         )
+        rem_i = jnp.any(dom_remove_pair0[:R0].reshape(N, row_cap0), axis=1)
+        if PC > R0:  # second-chance entries via segment_max over their i
+            ie = i0[R0:]
+            seg_f = jnp.where(fuse_pair0[R0:], ie, N).astype(jnp.int32)
+            fw_e = jax.ops.segment_max(
+                jnp.where(fuse_pair0[R0:], j0[R0:], -1).astype(jnp.int32),
+                seg_f, num_segments=N + 1,
+            )[:N]
+            fuse_i = fuse_i | (fw_e >= 0)
+            fw_i = jnp.maximum(fw_i, fw_e)
+            seg_r = jnp.where(dom_remove_pair0[R0:], ie, N).astype(jnp.int32)
+            rem_e = jax.ops.segment_max(
+                dom_remove_pair0[R0:].astype(jnp.int32), seg_r,
+                num_segments=N + 1,
+            )[:N]
+            rem_i = rem_i | (rem_e > 0)
         fuse_with = jnp.where(fuse_i, fw_i, -1).astype(jnp.int32)
-        remove = remove | jnp.any(
-            dom_remove_pair0.reshape(N, row_cap0), axis=1
-        )
+        remove = remove | rem_i
     else:  # compacted list: per-floe maxima via segment_max over i0
         seg_f = jnp.where(fuse_pair0, i0, N).astype(jnp.int32)
         fw_i = jax.ops.segment_max(

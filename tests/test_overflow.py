@@ -62,27 +62,41 @@ def test_broad_phase_overflow_flag():
     assert bool(tiny.overflow) or int(jnp.sum(tiny.valid)) == n_valid
 
 
-def test_pair_overlaps_overflow_flag():
+def test_pair_overlaps_overflow_flag(monkeypatch):
     _, domain, _, floes = _dense_field()
     i, j, area, valid, overflow = pair_overlaps(
         floes, domain, 64 * floes.capacity
     )
     assert not bool(overflow)
-    assert int(jnp.sum(valid)) > 0
-    # shrink the broad-phase capacity until truncation must occur
+    n_full = int(jnp.sum(valid))
+    assert n_full > 0
+    # tiny row budget: either the second-chance list absorbs everything
+    # (complete list, no flag) or the flag fires - never silent truncation
+    i, j, area, valid, overflow = pair_overlaps(floes, domain, 8)
+    assert bool(overflow) or int(jnp.sum(valid & (area > 0))) > 0
+    # force the second-chance list itself to truncate: flag MUST fire
+    from subzero_tpu.physics import collisions as C
+
+    monkeypatch.setattr(C, "_extra_cap", lambda N: 1)
     i, j, area, valid, overflow = pair_overlaps(floes, domain, 8)
     assert bool(overflow)
 
 
-def test_collisions_overflow_flag():
+def test_collisions_overflow_flag(monkeypatch):
+    from subzero_tpu.physics import collisions as C
+
     _, domain, _, floes = _dense_field()
+    monkeypatch.setattr(C, "_extra_cap", lambda N: 1)
     res = timestep_collisions(
         floes, domain, Constants(E=1e6), 10.0, CollisionSettings(), 8
     )
     assert bool(res.overflow)
 
 
-def test_run_scan_overflow_warning():
+def test_run_scan_overflow_warning(monkeypatch):
+    from subzero_tpu.physics import collisions as C
+
+    monkeypatch.setattr(C, "_extra_cap", lambda N: 1)
     grid, domain, fs, floes = _dense_field()
     ocean = make_ocean(grid, u=0.0, v=0.0, temp=0.0, dtype=jnp.float64)
     atmos = make_atmos(grid, u=0.0, v=0.0, temp=-1.0, dtype=jnp.float64)
@@ -154,3 +168,27 @@ def test_two_way_window_overflow_flag():
         floes, grid, domain, ocean, atmos, consts, cps, fs, 10.0, 3
     )
     assert bool(over)
+
+
+def test_second_chance_list_preserves_forces():
+    """With the second-chance list, a tiny row budget must yield the SAME
+    collision forces as a generous one (candidates spill instead of being
+    dropped; only the accumulation order differs)."""
+    _, domain, _, floes = _dense_field()
+    big = timestep_collisions(
+        floes, domain, Constants(E=1e6), 10.0, CollisionSettings(),
+        64 * floes.capacity,
+    )
+    tiny = timestep_collisions(
+        floes, domain, Constants(E=1e6), 10.0, CollisionSettings(), 8
+    )
+    assert not bool(big.overflow) and not bool(tiny.overflow)
+    np.testing.assert_allclose(
+        np.asarray(tiny.floes.collision_force),
+        np.asarray(big.floes.collision_force),
+        rtol=1e-9, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiny.floes.collision_trq),
+        np.asarray(big.floes.collision_trq), rtol=1e-9, atol=1e-3,
+    )

@@ -78,12 +78,8 @@ def main():
     def s2(f):
         pairs = C.find_candidate_pairs(f, dm, sim.pair_cap, sim.bins)
         i0, j0 = pairs.qi, pairs.qj
-        PC = i0.shape[0]
-        row_cap0 = PC // N
-        pv0 = jnp.broadcast_to(
-            f.verts[:, None], (N, row_cap0, V, 2)
-        ).reshape(PC, V, 2)
-        pn0 = jnp.broadcast_to(f.nverts[:, None], (N, row_cap0)).reshape(PC)
+        pv0 = f.verts[i0]
+        pn0 = f.nverts[i0]
         qv0 = q_verts[j0]
         p = 2e-6 * (f.rmax[i0] + f.rmax[jnp.minimum(j0, N - 1)])
         tc = two_cross_dispatch(
