@@ -1182,27 +1182,53 @@ def timestep_collisions(
     j1 = j0[ssafe]
     shift1 = pairs.shift[ssafe]
 
-    def run_slow():
-        return jax.vmap(
-            lambda a, b, c, d, p: intersect_regions(
-                a, b, c, d, CAP=clip_cap, perturb=p
+    def run_slow_n(cap):
+        """General kernel on the first ``cap`` slow rows, zero-padded to
+        the full slow_cap output shape (cond branches must agree)."""
+
+        def f():
+            regs = jax.vmap(
+                lambda a, b, c, d, p: intersect_regions(
+                    a, b, c, d, CAP=clip_cap, perturb=p
+                )
+            )(
+                floes.verts[i1[:cap]],
+                floes.nverts[i1[:cap]],
+                q_verts[j1[:cap]] + shift1[:cap, None, :],
+                q_n[j1[:cap]],
+                perturb0[ssafe[:cap]],
             )
-        )(
-            floes.verts[i1],
-            floes.nverts[i1],
-            q_verts[j1] + shift1[:, None, :],
-            q_n[j1],
-            perturb0[ssafe],
-        )
+            if cap == slow_cap:
+                return regs
+            return jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((slow_cap - cap,) + a.shape[1:], a.dtype)]
+                )
+                if a.ndim > 0
+                else a,
+                regs,
+            )
+
+        return f
 
     def skip_slow():
         return jax.tree.map(
-            lambda a: jnp.zeros(a.shape, a.dtype), jax.eval_shape(run_slow)
+            lambda a: jnp.zeros(a.shape, a.dtype),
+            jax.eval_shape(run_slow_n(slow_cap)),
         )
 
     # most steps have zero multi-region/degenerate contacts: skip the
-    # general sort/compact/cycle kernel entirely when the slow list is empty
-    sregions = jax.lax.cond(n_slow > 0, run_slow, skip_slow)
+    # general sort/compact/cycle kernel entirely.  Once contacts evolve, a
+    # handful of pairs go degenerate most steps - a small tier covers them
+    # without paying the full slow_cap kernel (pair_cap // 128 rows).
+    slow_lo = min(64, slow_cap)
+    sregions = jax.lax.cond(
+        n_slow > 0,
+        lambda: jax.lax.cond(
+            n_slow <= slow_lo, run_slow_n(slow_lo), run_slow_n(slow_cap)
+        ),
+        skip_slow,
+    )
     slow_total = jnp.where(svalid, sregions.total_area, 0.0)
 
     # slow -> full-list routing (ssel == PC rows drop out); each valid slow

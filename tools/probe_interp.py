@@ -130,9 +130,48 @@ def main():
             ).reshape(N, P, CW, 5)
             return jnp.sum(tmp * ohy[..., None], axis=2)
 
+        def v_winblock(fx, fy):
+            # per-floe [CW, CW, 5] window via vmapped dynamic_slice of the
+            # flat field (one slice-gather per window row), then separable
+            # in-window one-hot contraction at HIGH precision
+            ix, iy, wx, wy = corners(fx, fy)
+            ox = jnp.clip(jnp.min(ix, axis=1), 0, G - CW)   # [N]
+            oy = jnp.clip(jnp.min(iy, axis=1), 0, G - CW)
+
+            def row(o_x, o_y, a):
+                return jax.lax.dynamic_slice(
+                    flat, (jnp.minimum((o_x + a) * G + o_y, G * G - CW), 0),
+                    (CW, 5),
+                )
+
+            win = jax.vmap(
+                lambda o_x, o_y: jax.vmap(lambda a: row(o_x, o_y, a))(
+                    jnp.arange(CW)
+                )
+            )(ox, oy)  # [N, CW, CW, 5]
+            kx = ix - ox[:, None]
+            ky = iy - oy[:, None]
+            ar = jnp.arange(CW, dtype=jnp.int32)
+            ohx = (
+                (kx[:, :, None] == ar) * (1 - wx)
+                + (kx[:, :, None] + 1 == ar) * wx
+            )  # [N,P,CW]
+            ohy = (
+                (ky[:, :, None] == ar) * (1 - wy)
+                + (ky[:, :, None] + 1 == ar) * wy
+            )
+            tmp = jax.lax.dot_general(
+                ohx, win.reshape(N, CW, CW * 5),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(N, P, CW, 5)
+            return jnp.sum(tmp * ohy[..., None], axis=2)
+
         vals = {}
         for name, fn in (("current", v_current), ("flat", v_flat),
-                         ("pair", v_pair), ("mxu", v_mxu)):
+                         ("pair", v_pair), ("mxu", v_mxu),
+                         ("winblock", v_winblock)):
             ms = scan_time(fn, (fx, fy))
             vals[name] = np.asarray(fn(fx, fy))
             err = np.max(np.abs(vals[name] - vals["current"]))
