@@ -528,11 +528,20 @@ def two_cross_pass(pv, pn, qv, qn, perturb) -> TwoCrossResult:
     crQ = qax * qby - qbx * qay
     areaQ = jnp.abs(0.5 * jnp.sum(jnp.where(qe_m, crQ, 0.0), axis=0))
     max_reasonable = jnp.minimum(areaP, areaQ) * (1 + 1e-6)
-    ok = ok & (S > 0) & (S <= max_reasonable)
-    area = jnp.where(ok, S, 0.0)
-    denom_c = jnp.where(ok, 6.0 * S, 1.0)
-    cx = jnp.where(ok, (MX_P + MX_Q) / denom_c, 0.0)
-    cy = jnp.where(ok, (MY_P + MY_Q) / denom_c, 0.0)
+    # sliver tolerance: shear-packed fields hold thousands of edge-aligned
+    # contacts whose true overlap is ~0; roundoff then lands S slightly
+    # NEGATIVE (observed <= 2.4e-4 relative in f32), which would bounce
+    # every one of them to the general slow kernel each step.  They carry
+    # ~zero force either way (force ~ area), so accept them as zero-area
+    # fast-path contacts - the slow kernel would return the same ~0 at the
+    # same precision.
+    sliver = jnp.asarray(1e-10 if dtype == jnp.float64 else 4e-3, dtype)
+    ok = ok & (S > -sliver * max_reasonable) & (S <= max_reasonable)
+    pos = ok & (S > 0)
+    area = jnp.where(pos, S, 0.0)
+    denom_c = jnp.where(pos, 6.0 * S, 1.0)
+    cx = jnp.where(pos, (MX_P + MX_Q) / denom_c, 0.0)
+    cy = jnp.where(pos, (MY_P + MY_Q) / denom_c, 0.0)
 
     # ---- containment fallback for cnt == 0 ---------------------------------
     p_in_q = _pip_pm(pax[0], pay[0], qax, qay, qbx, qby, qe_m)

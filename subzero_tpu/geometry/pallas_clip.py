@@ -173,12 +173,16 @@ def _kernel(pax, pay, pbx, pby, pem, qax, qay, qbx, qby, qem,
     crQ = qa_x * qb_y - qb_x * qa_y
     areaQ = jnp.abs(0.5 * srow(qe_m * crQ))
     max_reasonable = jnp.minimum(areaP, areaQ) * (1 + 1e-6)
-    ok = ok & (S > 0) & (S <= max_reasonable)
-    okf = ok.astype(dtype)
-    area = okf * S
-    denom_c = jnp.where(ok, 6.0 * S, one)
-    cx = okf * (MX_P + MX_Q) / denom_c
-    cy = okf * (MY_P + MY_Q) / denom_c
+    # sliver tolerance: mirrors two_cross_pass (clip.py) - tiny-negative S
+    # from roundoff on edge-aligned contacts counts as a zero-area fast
+    # contact, not a slow-path bounce
+    ok = ok & (S > -4e-3 * max_reasonable) & (S <= max_reasonable)
+    pos = ok & (S > 0)
+    posf = pos.astype(dtype)
+    area = posf * S
+    denom_c = jnp.where(pos, 6.0 * S, one)
+    cx = posf * (MX_P + MX_Q) / denom_c
+    cy = posf * (MY_P + MY_Q) / denom_c
 
     # ---- containment (point-in-polygon, crossing number) -------------------
     def pip(px, py, ax_, ay_, bx_, by_, em_):

@@ -126,7 +126,7 @@ def _rank_select_rows(mask, row_cap, extra_cap=0):
         # (1) per-row compare-reduce picks up to D_SPILL dropped columns
         # (cheap [N, C, D] fused pass), (2) one small sized-nonzero over
         # [N * D_SPILL] compacts them globally.
-        D_SPILL = 4
+        D_SPILL = 8
         n_drop = jnp.sum(
             jnp.minimum(jnp.maximum(row_tot - row_cap, 0), D_SPILL)
         )
