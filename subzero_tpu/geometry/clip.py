@@ -53,6 +53,16 @@ __all__ = ["ClipRegions", "intersect_regions", "intersect_area"]
 # (the reference's C-shape golden test has 4 crossings / 2 regions).
 DEFAULT_CAP = 16
 
+# Sliver tolerance for the two-crossing fast path, shared with the Pallas
+# kernel (pallas_clip.py) so the two implementations cannot drift: a contact
+# whose chained shoelace sum S lands slightly NEGATIVE from roundoff (worst
+# observed ~2.4e-4 relative in f32 on shear-packed edge-aligned contacts) is
+# accepted as a zero-area fast-path contact instead of bouncing to the slow
+# kernel.  1e-3 = a few x the observed bound; anything more negative is a
+# genuine inconsistency and takes the slow path.
+SLIVER_TOL_F32 = 1e-3
+SLIVER_TOL_F64 = 1e-10
+
 
 class ClipRegions(NamedTuple):
     """Result of intersect_regions for one pair (or batched leading dims).
@@ -535,7 +545,9 @@ def two_cross_pass(pv, pn, qv, qn, perturb) -> TwoCrossResult:
     # ~zero force either way (force ~ area), so accept them as zero-area
     # fast-path contacts - the slow kernel would return the same ~0 at the
     # same precision.
-    sliver = jnp.asarray(1e-10 if dtype == jnp.float64 else 4e-3, dtype)
+    sliver = jnp.asarray(
+        SLIVER_TOL_F64 if dtype == jnp.float64 else SLIVER_TOL_F32, dtype
+    )
     ok = ok & (S > -sliver * max_reasonable) & (S <= max_reasonable)
     pos = ok & (S > 0)
     area = jnp.where(pos, S, 0.0)

@@ -32,6 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .clip import SLIVER_TOL_F32, SLIVER_TOL_F64
+
 V16 = 16
 TB = 1024  # pairs per program (lane-major); VMEM use ~2 MB
 
@@ -173,10 +175,11 @@ def _kernel(pax, pay, pbx, pby, pem, qax, qay, qbx, qby, qem,
     crQ = qa_x * qb_y - qb_x * qa_y
     areaQ = jnp.abs(0.5 * srow(qe_m * crQ))
     max_reasonable = jnp.minimum(areaP, areaQ) * (1 + 1e-6)
-    # sliver tolerance: mirrors two_cross_pass (clip.py) - tiny-negative S
-    # from roundoff on edge-aligned contacts counts as a zero-area fast
-    # contact, not a slow-path bounce
-    ok = ok & (S > -4e-3 * max_reasonable) & (S <= max_reasonable)
+    # sliver tolerance: shared with two_cross_pass (clip.SLIVER_TOL_*) -
+    # tiny-negative S from roundoff on edge-aligned contacts counts as a
+    # zero-area fast contact, not a slow-path bounce
+    sliver = SLIVER_TOL_F64 if dtype == jnp.float64 else SLIVER_TOL_F32
+    ok = ok & (S > -sliver * max_reasonable) & (S <= max_reasonable)
     pos = ok & (S > 0)
     posf = pos.astype(dtype)
     area = posf * S

@@ -56,10 +56,12 @@ __all__ = [
 ]
 
 # fields a halo (collision ghost) copy needs: everything the pair kernel and
-# force recipe read from either side of a contact
+# force recipe read from either side of a contact, plus "id" so a fuse mark
+# against a halo copy can record the partner's stable identity (see
+# _fuse_with_to_ids)
 _HALO_FIELDS = (
     "verts", "nverts", "centroid", "height", "area", "rmax",
-    "u", "v", "xi", "active",
+    "u", "v", "xi", "active", "id",
 )
 
 
@@ -177,7 +179,10 @@ def _compact_active(floes_dist: FloeState, host_cap: int):
     [D * local_cap] padded pool wastes device->host traffic proportional to
     the per-device headroom x device count; this keeps the transfer O(number
     of active floes).  Invalid rows are zeroed (fuse_with reset to -1) so
-    they are safe free slots for fracture/weld piece appends.  Returns
+    they are safe free slots for fracture/weld piece appends.  Compaction
+    renumbers rows, which is safe for fuse_with only because the distributed
+    pools store partner IDs there, not row indices (_fuse_with_to_ids);
+    run_decomp converts IDs back to compacted-pool rows afterwards.  Returns
     (compact_pool, overflow) - overflow means host_cap must grow."""
     N = floes_dist.capacity
     mask = floes_dist.active
@@ -203,6 +208,43 @@ def gather_active(floes_dist: FloeState, host_cap: int):
     [host_cap] pool to host.  Returns (pool, overflow)."""
     out, overflow = _compact_active(floes_dist, host_cap)
     return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), out), bool(overflow)
+
+
+def _fuse_with_to_ids(fuse_with, ext: FloeState):
+    """Translate collision fuse marks from extended-pool ROW indices to the
+    partner floe's stable ID.
+
+    In the distributed pools ``fuse_with`` stores partner IDs, not rows:
+    local rows are renumbered by migration, halo rows (>= local_cap) only
+    exist inside one device's step, and ``gather_active`` compacts rows
+    again - a row index would dangle at every one of those seams, fusing the
+    wrong floe (or indexing out of the host pool).  IDs survive all three;
+    ``run_decomp`` maps them back to gathered-pool rows right before the
+    host fuse pass (``_fuse_ids_to_rows``)."""
+    cap = ext.capacity
+    pid = ext.id[jnp.clip(fuse_with, 0, cap - 1)]
+    return jnp.where(fuse_with >= 0, pid, -1).astype(jnp.int32)
+
+
+def _fuse_ids_to_rows(floes: FloeState) -> FloeState:
+    """Host-side inverse of _fuse_with_to_ids on a gathered pool: rewrite
+    ``fuse_with`` partner IDs as row indices (what lifecycle_host.fuse_floes
+    consumes).  Partners whose ID no longer exists in the pool (removed or
+    dissolved since the mark) are cleared to -1."""
+    fw = np.asarray(floes.fuse_with)
+    marked = np.nonzero(fw >= 0)[0]
+    if marked.size == 0:
+        return floes
+    ids = np.asarray(floes.id)
+    act = np.asarray(floes.active)
+    lookup = {int(ids[r]): int(r) for r in np.nonzero(act)[0]}
+    out = np.full_like(fw, -1)
+    for r in marked:
+        p = lookup.get(int(fw[r]), -1)
+        # a floe paired with its own periodic halo image maps to itself;
+        # fusing a floe with itself is meaningless - drop the mark
+        out[r] = -1 if p == r else p
+    return floes._replace(fuse_with=jnp.asarray(out))
 
 
 def _pack(floes: FloeState, mask, cap: int, fields):
@@ -330,7 +372,7 @@ def build_decomp_step(sim, dec: Decomp):
                 collision_trq=loc.collision_trq,
                 overarea=loc.overarea,
                 remove=loc.remove,
-                fuse_with=loc.fuse_with,
+                fuse_with=_fuse_with_to_ids(loc.fuse_with, ext),
             )
             stress_instant = res.stress_instant[:Nl]
             overflow = overflow | res.overflow
@@ -514,6 +556,16 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
 
     has_collision_fusing = sim.collision_settings.collisions_on
     n_overflow = 0
+
+    def _cell_cap_needed(g) -> int:
+        """The two-way-coupling window size the current pool requires (the
+        same formula as Simulation.__post_init__); welding/fusing can grow
+        rmax past the compiled window without ever overflowing a slab, so
+        this is checked after EVERY host lifecycle pass."""
+        rmax_now = float(jnp.max(jnp.where(g.active, g.rmax, 0.0)))
+        gr = sim.model.grid
+        cap = int(2 * np.ceil(1.5 * rmax_now / min(gr.dx, gr.dy)) + 3)
+        return min(cap, max(gr.Nx, gr.Ny) + 1)
     # lifecycle gathers pull only active rows (device-side compaction keeps
     # the device->host transfer O(active), not O(devices * local_cap)).
     # host_cap tracks the live active count with enough headroom for one
@@ -573,10 +625,24 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
                 host_cap = 2 * host_cap
                 g, hc_over = gather_active(floes_d, host_cap)
             host_sim.pair_cap = row_cap * g.capacity
+            g = _fuse_ids_to_rows(g)
             g = _host_lifecycle_passes(
                 host_sim, g, domain, tstep, rng, state, logger
             )
+            rebuild = False
+            if sim.coupling_settings.two_way_coupling_on:
+                cap = _cell_cap_needed(g)
+                if cap > sim.cell_cap:
+                    sim.cell_cap = cap
+                    rebuild = True
+                    logger.warn(
+                        f"floe growth outran the two-way coupling window: "
+                        f"growing cell_cap to {cap} and recompiling",
+                        tstep,
+                    )
             try:
+                if rebuild:
+                    step = _dec_build(sim, dec)
                 floes_d = _dec_distribute(g, domain, dec)
             except ValueError:
                 # fracture/welding grew a slab past local_cap: rebuild the
@@ -587,16 +653,6 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
                     f"slab overflow: growing local_cap to {dec.local_cap} "
                     "and recompiling the decomposed step",
                     tstep,
-                )
-                # welding/fusing may also have grown floes past the two-way
-                # window sizing; recompute cell_cap from the current pool
-                # while we are recompiling anyway (otherwise the coupling
-                # overflow flag would fire every step until a restart)
-                rmax_now = float(jnp.max(jnp.where(g.active, g.rmax, 0.0)))
-                gr = sim.model.grid
-                cap = int(2 * np.ceil(1.5 * rmax_now / min(gr.dx, gr.dy)) + 3)
-                sim.cell_cap = max(
-                    sim.cell_cap, min(cap, max(gr.Nx, gr.Ny) + 1)
                 )
                 step = _dec_build(sim, dec)
                 floes_d = _dec_distribute(g, domain, dec)
@@ -917,7 +973,7 @@ def build_decomp_step_2d(sim, dec: Decomp2D):
                 collision_trq=loc.collision_trq,
                 overarea=loc.overarea,
                 remove=loc.remove,
-                fuse_with=loc.fuse_with,
+                fuse_with=_fuse_with_to_ids(loc.fuse_with, ext),
             )
             stress_instant = res.stress_instant[:Nl]
             overflow = overflow | res.overflow

@@ -477,12 +477,13 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
                 )
                 floes, ocean, domain = fl, oc, dm
                 nov = int(nov)
+                seg_len = int(t_dev) - tstep
                 tstep = int(t_dev)
                 if nov:
                     n_overflow += nov
                     logger.warn(
                         f"pair/crossing capacity exceeded on {nov} of the "
-                        f"last {tstep} steps; contact forces may be "
+                        f"last {seg_len} steps; contact forces may be "
                         "incomplete",
                         tstep - 1,
                     )

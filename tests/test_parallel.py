@@ -298,6 +298,76 @@ def test_run_decomp_matches_run_single():
     np.testing.assert_allclose(b["height"], a["height"], rtol=1e-9)
 
 
+def test_run_decomp_fuses_marked_pair():
+    """A >55%-overlap pair on a non-first slab fuses correctly through the
+    distributed driver.  Regression for the fuse_with indexing bug: the
+    collision step marks partners by extended-pool ROW, which dangles after
+    gather_active compaction renumbers rows (device-1 floes land at low
+    host rows).  The distributed pools therefore carry partner IDs
+    (_fuse_with_to_ids), remapped to rows on the gathered pool before the
+    host fuse pass (_fuse_ids_to_rows)."""
+    from subzero_tpu.core import initialize_floe_field_coords
+    from subzero_tpu.settings import CollisionSettings
+
+    grid = make_grid(0.0, 8e5, 0.0, 1e5, Nx=40, Ny=5)
+    ocean = make_ocean(grid, u=0.0, v=0.0, temp=0.0, dtype=jnp.float64)
+    atmos = make_atmos(grid, temp=-1.0, dtype=jnp.float64)
+    domain = make_domain(
+        grid, *([BoundaryKind.PERIODIC] * 4), dtype=jnp.float64
+    )
+    fs = FloeSettings(
+        min_floe_area=1e6,
+        subfloe_point_generator=SubGridPointsGenerator.from_grid(grid, 2),
+    )
+
+    def sq(x0, y0, s=2e4):
+        return [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]]
+
+    # two well-separated floes on slab 0, a 90%-overlap pair on slab 1
+    coords = [
+        sq(0.5e5, 3e4), sq(2.5e5, 3e4),
+        sq(6.0e5, 4e4), sq(6.02e5, 4e4),
+    ]
+    floes = initialize_floe_field_coords(
+        coords, domain, 0.25, 0.0, fs, rng=np.random.default_rng(0),
+        dtype=jnp.float64,
+    )
+    model = make_model(grid, ocean, atmos, domain, floes)
+    sim = Simulation(
+        model=model,
+        consts=Constants(E=1e6),
+        dt=20,
+        n_dt=1,
+        floe_settings=fs,
+        coupling_settings=CouplingSettings(coupling_on=False),
+        collision_settings=CollisionSettings(),
+    )
+    act0 = np.asarray(floes.active)
+    mass0 = float(np.asarray(floes.mass)[act0].sum())
+    ids0 = set(np.asarray(floes.id)[act0].tolist())
+    max_id0 = max(ids0)
+    overlap_ids = {
+        int(np.asarray(floes.id)[r])
+        for r in np.nonzero(act0)[0]
+        if np.asarray(floes.centroid)[r, 0] > 4e5
+    }
+    assert len(overlap_ids) == 2
+
+    dec = make_decomp(floes, domain, n_devices=2)
+    sim = run_decomp(sim, dec)
+    out = sim.model.floes
+    act = np.asarray(out.active)
+    ids1 = set(np.asarray(out.id)[act].tolist())
+    # the overlapping pair fused into one NEW floe; the slab-0 floes kept
+    # their ids untouched (the pre-fix row-index bug fused the wrong rows)
+    assert int(act.sum()) == 3
+    assert ids1 & overlap_ids == set()
+    assert ids0 - overlap_ids <= ids1
+    assert max(ids1) > max_id0
+    mass1 = float(np.asarray(out.mass)[act].sum())
+    np.testing.assert_allclose(mass1, mass0, rtol=1e-9)
+
+
 def test_decomp_scaling_overhead():
     """Parallel overhead of the decomposed step on the virtual CPU mesh:
     8 slabs on shared host cores must stay within 50% of the 1-slab rate
