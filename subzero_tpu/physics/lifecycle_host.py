@@ -382,14 +382,17 @@ def split_floe(hf: HostFloes, i, rng, frac_settings, fs: FloeSettings, dt):
     return out
 
 
-def deform_floe(hf: HostFloes, i, deformer_ring, fs: FloeSettings, dt, rng):
+def deform_floe(
+    hf: HostFloes, i, deformer_ring, fs: FloeSettings, dt, rng, forces=None,
+):
     """deform_floe! (fractures.jl:310-357): carve the largest-overlap
     collision site out of a fracturing floe before splitting it.
 
-    Deviation from the reference: the displacement direction uses the
-    centroid-to-centroid axis instead of the recorded contact-force vector
-    (per-pair force vectors are not materialized in the batched pipeline);
-    magnitude and the >90%-area acceptance check are identical.
+    ``forces`` is the recorded contact force (fx, fy) on floe i from the
+    deformer (the reference's ``deforming_forces``,
+    interactions[max_overlap_idx, xforce:yforce]); the deformer is displaced
+    |signed_distance| / 2 along it before the difference is taken.  Without
+    a force row the centroid-to-centroid axis (same orientation) stands in.
     """
     f = hf.fields
     ring = hf.ring(i)
@@ -410,7 +413,10 @@ def deform_floe(hf: HostFloes, i, deformer_ring, fs: FloeSettings, dt, rng):
         L2 = seg @ seg
         t = np.clip(((rc - a) @ seg) / max(L2, 1e-30), 0, 1)
         dmin = min(dmin, np.linalg.norm(rc - (a + t * seg)))
-    dc = poly_centroid_np(ring) - poly_centroid_np(deformer_ring)
+    if forces is not None:
+        dc = np.asarray(forces, float)
+    else:
+        dc = poly_centroid_np(ring) - poly_centroid_np(deformer_ring)
     nrm = np.linalg.norm(dc)
     if nrm == 0:
         return
@@ -441,9 +447,13 @@ def fracture_floes(
 ):
     """fracture_floes! (fractures.jl:461-532). Returns (FloeState, max_id).
 
-    ``overlaps``: optional list of (i, j, area) pairs from the collision
+    ``overlaps``: optional list of interaction rows from the collision
     step, used to pick each fracturing floe's largest-overlap deformer when
-    ``deform_on`` is set.
+    ``deform_on`` is set: either (i, j, area) triples (deformer direction
+    falls back to the centroid axis) or (i, j, area, fx, fy) rows carrying
+    the recorded contact force on floe i, which then drives the deformer
+    displacement direction exactly like the reference (fractures.jl:482-507
+    passes interactions[max_overlap_idx, xforce:yforce] to deform_floe!).
     """
     hf = HostFloes(floes)
     frac_idx = determine_fractures(hf, frac_settings.criteria, fs)
@@ -453,13 +463,16 @@ def fracture_floes(
     deformer_of = {}
     if frac_settings.deform_on and overlaps:
         best = {}
-        for (i, j, a) in overlaps:
-            if j >= 0 and a > best.get(i, (0.0, -1))[0]:
-                best[int(i)] = (float(a), int(j))
-        deformer_of = {i: j for i, (a, j) in best.items()}
+        for row in overlaps:
+            i, j, a = row[0], row[1], row[2]
+            force = (float(row[3]), float(row[4])) if len(row) >= 5 else None
+            if j >= 0 and a > best.get(i, (0.0, -1, None))[0]:
+                best[int(i)] = (float(a), int(j), force)
+        deformer_of = {i: (j, fo) for i, (a, j, fo) in best.items()}
     for i in frac_idx:
         if frac_settings.deform_on and i in deformer_of:
-            deform_floe(hf, i, hf.ring(deformer_of[i]), fs, dt, rng)
+            j, force = deformer_of[i]
+            deform_floe(hf, i, hf.ring(j), fs, dt, rng, forces=force)
         pieces = split_floe(hf, i, rng, frac_settings, fs, dt)
         if not pieces:
             continue

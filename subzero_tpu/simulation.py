@@ -315,16 +315,23 @@ def _host_lifecycle_passes(
     if fr.fractures_on and fr.dt > 0 and tstep % fr.dt == 0 and tstep > 0:
         overlaps = None
         if fr.deform_on:
-            i, j, area, valid, overflow = _collisions.pair_overlaps(
-                floes, domain, sim.pair_cap, sim.clip_cap, sim.bins
+            # materialized interaction rows so each fracturing floe's
+            # deformer displacement follows the recorded contact-force
+            # vector, exactly like the reference (fractures.jl:482-507
+            # reads interactions[max_overlap_idx, xforce:yforce])
+            rows = _collisions.pair_interactions(
+                floes, domain, sim.consts, float(sim.dt), sim.pair_cap,
+                sim.clip_cap, sim.bins,
             )
-            _warn_overflow(overflow, "fracture deform")
-            mask = np.asarray(valid)
+            _warn_overflow(rows["overflow"], "fracture deform")
+            mask = np.asarray(rows["valid"])
             overlaps = list(
                 zip(
-                    np.asarray(i)[mask].tolist(),
-                    np.asarray(j)[mask].tolist(),
-                    np.asarray(area)[mask].tolist(),
+                    np.asarray(rows["i"])[mask].tolist(),
+                    np.asarray(rows["j"])[mask].tolist(),
+                    np.asarray(rows["overlap"])[mask].tolist(),
+                    np.asarray(rows["fx"])[mask].tolist(),
+                    np.asarray(rows["fy"])[mask].tolist(),
                 )
             )
         floes, state["max_floe_id"] = _lifecycle.fracture_floes(

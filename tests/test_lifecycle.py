@@ -158,6 +158,63 @@ class TestFracture:
         piece_area = sum(host_clip.poly_area_np(p) for p, _ in pieces)
         assert np.isclose(inter, piece_area, rtol=1e-6)
 
+    def test_deform_floe_force_direction_golden(self):
+        """deform_floe! golden (test_fractures.jl:186-205): displacing the
+        deformer along the recorded contact-force vector
+        [-279441968.984, -54223517.438] and re-differencing must land the
+        deformed floe at the reference's exact centroid/area."""
+        fl = floes_with_stress()
+        hf = lh.HostFloes(fl)
+        f = hf.fields
+        ring_deformer = hf.ring(2)  # NO_FRAC_FLOE collides with floe 0
+        init_overlap = sum(
+            host_clip.poly_area_np(r)
+            for r in host_clip.intersect(hf.ring(0), ring_deformer)
+        )
+        lh.deform_floe(
+            hf, 0, ring_deformer, FloeSettings(), 10,
+            np.random.default_rng(1),
+            forces=(-279441968.984, -54223517.438),
+        )
+        post_overlap = sum(
+            host_clip.poly_area_np(r)
+            for r in host_clip.intersect(hf.ring(0), ring_deformer)
+        )
+        assert post_overlap < init_overlap
+        assert np.allclose(
+            f["centroid"][0], [-35115.567, -42531.500], atol=2e-1
+        )
+        assert np.isclose(f["area"][0], 431454521, atol=10)
+
+    def test_fracture_floes_deform_on_uses_force_rows(self):
+        """fracture_floes with deform_on consumes (i, j, area, fx, fy)
+        interaction rows: the fracturing floe is deformed around its
+        largest-overlap partner before splitting (fractures.jl:482-507)."""
+        fl = floes_with_stress()
+        fs2 = FractureSettings(
+            fractures_on=True, npieces=2, criteria=HiblerYieldCurve(),
+            dt=75, deform_on=True,
+        )
+        overlap = sum(
+            host_clip.poly_area_np(r)
+            for r in host_clip.intersect(
+                np.asarray(FRAC_FLOE, float), np.asarray(NO_FRAC_FLOE, float)
+            )
+        )
+        assert overlap > 0
+        rows = [(0, 2, overlap, -279441968.984, -54223517.438)]
+        out, max_id = lh.fracture_floes(
+            fl, 4, np.random.default_rng(3), fs2, FSET, 10, overlaps=rows
+        )
+        act = np.asarray(out.active)
+        assert max_id > 4 and act.sum() >= 4
+        # mass conserved through deform (mass-preserving replace) + split
+        assert np.isclose(
+            float(jnp.sum(jnp.where(out.active, out.mass, 0.0))),
+            float(jnp.sum(jnp.where(fl.active, fl.mass, 0.0))),
+            rtol=1e-9,
+        )
+
     def test_fracture_floes_pool(self):
         fl = floes_with_stress()
         fs2 = FractureSettings(

@@ -65,6 +65,53 @@ def test_run_fuses_marked_pairs():
     assert np.isclose(float(out.area[keep]), 1.2e8, rtol=1e-3)
 
 
+def test_run_fracture_deform_on():
+    """run() with deform_on: the fracture branch materializes interaction
+    rows (pair_interactions) so deform_floe gets the recorded contact-force
+    direction (fractures.jl:482-507); two colliding floes under forced
+    fracture produce deformed + split pieces with mass bookkeeping intact."""
+    from subzero_tpu.settings import FractureSettings, HiblerYieldCurve
+
+    # ~30% overlap: collides (real contact forces) without fuse-marking
+    sq1 = [[3.0e4, 4e4], [4.4e4, 4e4], [4.4e4, 5e4], [3.0e4, 5e4]]
+    sq2 = [[4.0e4, 4e4], [5.4e4, 4e4], [5.4e4, 5e4], [4.0e4, 5e4]]
+    floes = build_floes(
+        [sq1, sq2], 0.25, 0.0, FSET, np.random.default_rng(0),
+        dtype=jnp.float64, N=8,
+    )
+    domain = make_domain(GRID, *([BoundaryKind.OPEN] * 4), dtype=jnp.float64)
+    model = make_model(
+        GRID,
+        make_ocean(GRID, 0, 0, 0, dtype=jnp.float64),
+        make_atmos(GRID, 0, 0, 0, dtype=jnp.float64),
+        domain,
+        floes,
+    )
+    m0 = float(jnp.sum(jnp.where(floes.active, floes.mass, 0.0)))
+    n0 = int(jnp.sum(floes.active))
+    sim = Simulation(
+        model=model,
+        consts=Constants(E=1e6),
+        dt=10,
+        n_dt=2,
+        floe_settings=FSET,
+        coupling_settings=CouplingSettings(coupling_on=False),
+        fracture_settings=FractureSettings(
+            fractures_on=True,
+            criteria=HiblerYieldCurve(pstar=1e-10, c=20.0),  # always fracture
+            dt=1,
+            npieces=2,
+            deform_on=True,
+        ),
+    )
+    sim = run(sim)
+    out = sim.model.floes
+    act = np.asarray(out.active)
+    assert int(act.sum()) > n0  # fracture produced pieces
+    m1 = float(np.asarray(out.mass)[act].sum())
+    np.testing.assert_allclose(m1, m0, rtol=1e-3)
+
+
 def test_open_boundary_removal_in_run():
     sq = [[-1e3, 4e4], [5e3, 4e4], [5e3, 5e4], [-1e3, 5e4]]  # crosses west
     floes = build_floes(
