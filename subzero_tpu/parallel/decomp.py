@@ -51,6 +51,7 @@ from ..physics import update_floe as _update_floe
 
 __all__ = [
     "Decomp", "make_decomp", "distribute", "gather", "build_decomp_step",
+    "build_decomp_step_halves", "build_decomp_segment",
     "run_decomp", "measure_decomp_scaling",
     "Decomp2D", "make_decomp_2d", "distribute_2d", "build_decomp_step_2d",
 ]
@@ -134,12 +135,17 @@ def make_decomp(
     )
 
 
-def distribute(floes: FloeState, domain: Domain, dec: Decomp) -> FloeState:
+def distribute(floes: FloeState, domain: Domain, dec: Decomp, extra=None):
     """Partition a global floe pool into per-device local pools.
 
     Returns a FloeState whose arrays have leading shape [D * local_cap],
     device-sharded along the mesh axis (slab d occupies rows
     [d*local_cap, (d+1)*local_cap)).
+
+    ``extra``: optional pytree of arrays with the same leading dim as the
+    pool (e.g. per-floe instantaneous stress rows carried across a mid-step
+    host pass); placed with the same row mapping and returned as a second
+    output (then the return is a (floes, extra) tuple).
     """
     D, Nl = dec.n_dev, dec.local_cap
     act = np.asarray(floes.active)
@@ -163,7 +169,13 @@ def distribute(floes: FloeState, domain: Domain, dec: Decomp) -> FloeState:
 
     stacked = jax.tree.map(place, floes)
     sharding = NamedSharding(dec.mesh, P(dec.axis))
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), stacked)
+    out = jax.tree.map(lambda a: jax.device_put(a, sharding), stacked)
+    if extra is None:
+        return out
+    extra_out = jax.tree.map(
+        lambda a: jax.device_put(place(a), sharding), extra
+    )
+    return out, extra_out
 
 
 def gather(floes_dist: FloeState) -> FloeState:
@@ -281,15 +293,18 @@ def _shift_x(state_dict: dict, dx):
     return out
 
 
-def build_decomp_step(sim, dec: Decomp):
-    """Compile one distributed step: (floes_dist, ocean, domain, tstep) ->
-    (floes_dist, ocean, domain, overflow).
+def _make_parts_1d(sim, dec: Decomp, row_cap=None):
+    """The per-device SPMD step of the 1-D decomposition, split in two:
 
-    ``sim`` provides the physics configuration (same Simulation object as the
-    single-device path); the floe pool argument must come from
-    ``distribute``.  Host life-cycle passes (fracture/weld/ridge-raft) are
-    not distributed: run them on ``gather``-ed state at their low cadences.
-    """
+      collide_local(floes, ocean, domain, tstep)
+          -> (floes, domain, stress_instant, overflow)   [halo + collisions]
+      finish_local(floes, ocean, domain, stress_instant, tstep)
+          -> (floes, ocean, domain, overflow)  [coupling/integrate/migrate]
+
+    mirroring simulation.build_step_parts so the host ridge/raft pass can
+    run at the reference's mid-step position over the gathered pool
+    (simulation.jl:121-135).  Both halves psum their overflow flag so the
+    returned scalar is replicated-consistent."""
     grid = sim.model.grid
     atmos = sim.model.atmos
     consts = sim.consts
@@ -303,9 +318,19 @@ def build_decomp_step(sim, dec: Decomp):
     Hm = dec.mig_cap
     axis = dec.axis
     ext_cap = Nl + 2 * H
-    # keep the same per-floe candidate budget as the single-device config
-    row_cap = max(sim.pair_cap // max(sim.model.floes.capacity, 1), 8)
-    pair_cap = max(row_cap * ext_cap, 256)
+    # keep the same per-floe candidate budget as the single-device config.
+    # row_cap must be derived from the USER pool's capacity; run_decomp
+    # snapshots it at entry because writers replace sim.model.floes with the
+    # (much larger) gathered pool mid-run, which would silently shrink the
+    # per-floe budget of any program built after the first writer fired.
+    if row_cap is None:
+        row_cap = max(sim.pair_cap // max(sim.model.floes.capacity, 1), 8)
+    # only the Nl local rows consume candidate budget (owned_rows prunes
+    # halo rows from the broad phase).  Seam rows own their full halo
+    # contact degree instead of the parity-halved share; the second-chance
+    # spill list (_extra_cap) absorbs those few deep rows, so the global
+    # budget stays at the single-device row_cap * pool size.
+    pair_cap = max(row_cap * Nl, 256)
 
     # ppermute perms: send right = (d -> d+1), send left = (d -> d-1)
     def perms(domain: Domain):
@@ -319,7 +344,7 @@ def build_decomp_step(sim, dec: Decomp):
             lambda a: jax.lax.ppermute(a, axis, perm), tree
         )
 
-    def local_step(floes, ocean, domain: Domain, tstep):
+    def collide_local(floes, ocean, domain: Domain, tstep):
         # floes arrive as the local [Nl, ...] slab block
         me = jax.lax.axis_index(axis)
         w_val = domain.vals[WEST]
@@ -332,37 +357,45 @@ def build_decomp_step(sim, dec: Decomp):
         perm_r, perm_l = perms(domain)
 
         # ---- 1. halo exchange (ghost floes across slab edges) ------------
-        cx = floes.centroid[:, 0]
-        r = floes.rmax
-        send_l_mask = floes.active & (cx - r < lo + dec.margin)
-        send_r_mask = floes.active & (cx + r > hi - dec.margin)
-        pk_l, ov1 = _pack(floes, send_l_mask, H, _HALO_FIELDS)
-        pk_r, ov2 = _pack(floes, send_r_mask, H, _HALO_FIELDS)
-        overflow = overflow | ov1 | ov2
-        # receive from right neighbor (their left-edge floes) and from left
-        recv_from_right = pshuffle(pk_l, perm_l)
-        recv_from_left = pshuffle(pk_r, perm_r)
-        if domain.ew_periodic:
-            # periodic wrap: device 0's left neighbor is D-1 whose floes sit
-            # near the east edge - shift them west by Lx (and mirrored)
-            recv_from_left = _shift_x(
-                recv_from_left, jnp.where(me == 0, -Lx, 0.0)
+        # A 1-slab axis needs no halos at all: the local pool holds every
+        # floe and the collision kernel's min-image shifts already cover
+        # periodic wrap (find_candidate_pairs) - a D=1 decomposition then
+        # runs the exact single-device compute.
+        if D == 1:
+            ext = floes
+        else:
+            cx = floes.centroid[:, 0]
+            r = floes.rmax
+            send_l_mask = floes.active & (cx - r < lo + dec.margin)
+            send_r_mask = floes.active & (cx + r > hi - dec.margin)
+            pk_l, ov1 = _pack(floes, send_l_mask, H, _HALO_FIELDS)
+            pk_r, ov2 = _pack(floes, send_r_mask, H, _HALO_FIELDS)
+            overflow = overflow | ov1 | ov2
+            # receive from right neighbor (their left-edge floes) and left
+            recv_from_right = pshuffle(pk_l, perm_l)
+            recv_from_left = pshuffle(pk_r, perm_r)
+            if domain.ew_periodic:
+                # periodic wrap: device 0's left neighbor is D-1 whose floes
+                # sit near the east edge - shift them west by Lx (mirrored)
+                recv_from_left = _shift_x(
+                    recv_from_left, jnp.where(me == 0, -Lx, 0.0)
+                )
+                recv_from_right = _shift_x(
+                    recv_from_right, jnp.where(me == D - 1, Lx, 0.0)
+                )
+            halo_l = _as_halo_state(floes, recv_from_left, H)
+            halo_r = _as_halo_state(floes, recv_from_right, H)
+            ext = jax.tree.map(
+                lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+                floes, halo_l, halo_r,
             )
-            recv_from_right = _shift_x(
-                recv_from_right, jnp.where(me == D - 1, Lx, 0.0)
-            )
-        halo_l = _as_halo_state(floes, recv_from_left, H)
-        halo_r = _as_halo_state(floes, recv_from_right, H)
-        ext = jax.tree.map(
-            lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
-            floes, halo_l, halo_r,
-        )
 
         # ---- 2. collisions on the extended pool --------------------------
         stress_instant = jnp.zeros_like(floes.stress_accum)
         if cls.collisions_on:
             res = _collisions.timestep_collisions(
-                ext, domain, consts, dt, cls, pair_cap, sim.clip_cap, None
+                ext, domain, consts, dt, cls, pair_cap, sim.clip_cap, None,
+                owned_rows=Nl,
             )
             # keep only the local slice; halo force accumulations are the
             # neighbor's responsibility (it computes the seam pair itself)
@@ -377,6 +410,17 @@ def build_decomp_step(sim, dec: Decomp):
             stress_instant = res.stress_instant[:Nl]
             overflow = overflow | res.overflow
         domain = domain.update_boundaries(dt)
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+        return floes, domain, stress_instant, overflow
+
+    def finish_local(floes, ocean, domain: Domain, stress_instant, tstep):
+        me = jax.lax.axis_index(axis)
+        w_val = domain.vals[WEST]
+        e_val = domain.vals[EAST]
+        Lx = e_val - w_val
+        slab_w = Lx / D
+        overflow = jnp.asarray(False)
+        perm_r, perm_l = perms(domain)
 
         # ---- 3. coupling (psum-reduced grid sums) -------------------------
         if cps.coupling_on:
@@ -419,45 +463,168 @@ def build_decomp_step(sim, dec: Decomp):
         )
 
         # ---- 6. migration of floes that crossed a slab edge ---------------
-        cx = floes.centroid[:, 0]
-        dest = jnp.clip(
-            jnp.floor((cx - w_val) / slab_w).astype(jnp.int32), 0, D - 1
-        )
-        hop = jnp.mod(dest - me, D)
-        go_right = floes.active & (hop >= 1) & (hop <= D // 2)
-        go_left = floes.active & (dest != me) & ~go_right
-        mig_fields = floes._fields
-        mg_r, ov3 = _pack(floes, go_right, Hm, mig_fields)
-        mg_l, ov4 = _pack(floes, go_left, Hm, mig_fields)
-        overflow = overflow | ov3 | ov4
-        floes = floes._replace(active=floes.active & ~(go_right | go_left))
-        recv_r = pshuffle(mg_l, perm_l)   # from right neighbor
-        recv_l = pshuffle(mg_r, perm_r)   # from left neighbor
-        # insert received floes into free slots
-        free = ~floes.active
-        (fidx,) = jnp.nonzero(free, size=2 * Hm, fill_value=Nl)
-        for k, recv in enumerate((recv_l, recv_r)):
-            slots = fidx[k * Hm : (k + 1) * Hm]
-            ok = recv["active"] & (slots < Nl)
-            overflow = overflow | jnp.any(recv["active"] & (slots >= Nl))
-            idx = jnp.where(ok, slots, Nl)
-            floes = floes._replace(**{
-                f: getattr(floes, f).at[idx].set(recv[f], mode="drop")
-                for f in mig_fields
-            })
-            # only genuinely received floes become active
-            floes = floes._replace(
-                active=floes.active.at[idx].set(ok, mode="drop")
+        # (a 1-slab axis owns everything - nothing can migrate)
+        if D > 1:
+            cx = floes.centroid[:, 0]
+            dest = jnp.clip(
+                jnp.floor((cx - w_val) / slab_w).astype(jnp.int32), 0, D - 1
             )
+            hop = jnp.mod(dest - me, D)
+            go_right = floes.active & (hop >= 1) & (hop <= D // 2)
+            go_left = floes.active & (dest != me) & ~go_right
+            mig_fields = floes._fields
+            mg_r, ov3 = _pack(floes, go_right, Hm, mig_fields)
+            mg_l, ov4 = _pack(floes, go_left, Hm, mig_fields)
+            overflow = overflow | ov3 | ov4
+            floes = floes._replace(
+                active=floes.active & ~(go_right | go_left)
+            )
+            recv_r = pshuffle(mg_l, perm_l)   # from right neighbor
+            recv_l = pshuffle(mg_r, perm_r)   # from left neighbor
+            # insert received floes into free slots
+            free = ~floes.active
+            (fidx,) = jnp.nonzero(free, size=2 * Hm, fill_value=Nl)
+            for k, recv in enumerate((recv_l, recv_r)):
+                slots = fidx[k * Hm : (k + 1) * Hm]
+                ok = recv["active"] & (slots < Nl)
+                overflow = overflow | jnp.any(recv["active"] & (slots >= Nl))
+                idx = jnp.where(ok, slots, Nl)
+                floes = floes._replace(**{
+                    f: getattr(floes, f).at[idx].set(recv[f], mode="drop")
+                    for f in mig_fields
+                })
+                # only genuinely received floes become active
+                floes = floes._replace(
+                    active=floes.active.at[idx].set(ok, mode="drop")
+                )
 
         overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
         return floes, ocean, domain, overflow
 
+    return collide_local, finish_local
+
+
+def _compose_parts(collide_local, finish_local):
+    def local_step(floes, ocean, domain, tstep):
+        floes, domain, si, ov1 = collide_local(floes, ocean, domain, tstep)
+        floes, ocean, domain, ov2 = finish_local(
+            floes, ocean, domain, si, tstep
+        )
+        return floes, ocean, domain, ov1 | ov2
+
+    return local_step
+
+
+def _dec_parts(sim, dec, row_cap=None):
+    """(collide_local, finish_local, axes) for a 1-D or 2-D decomposition;
+    axes is the mesh-axis name (or tuple) collectives reduce over."""
+    if isinstance(dec, Decomp):
+        c, f = _make_parts_1d(sim, dec, row_cap)
+        return c, f, dec.axis
+    c, f = _make_parts_2d(sim, dec, row_cap)
+    return c, f, ("x", "y")
+
+
+def _dec_specs(dec):
+    axes = dec.axis if isinstance(dec, Decomp) else ("x", "y")
+    return P(axes)
+
+
+def build_decomp_step(sim, dec, row_cap=None):
+    """Compile one distributed step: (floes_dist, ocean, domain, tstep) ->
+    (floes_dist, ocean, domain, overflow).
+
+    ``sim`` provides the physics configuration (same Simulation object as the
+    single-device path); the floe pool argument must come from
+    ``distribute``.  Host life-cycle passes (fracture/weld/ridge-raft) are
+    not distributed: run them on ``gather``-ed state at their low cadences.
+    """
+    collide_local, finish_local, _ = _dec_parts(sim, dec, row_cap)
+    local_step = _compose_parts(collide_local, finish_local)
+    spec = _dec_specs(dec)
     fn = jax.shard_map(
         local_step,
         mesh=dec.mesh,
-        in_specs=(P(axis), P(), P(), P()),
-        out_specs=(P(axis), P(), P(), P()),
+        in_specs=(spec, P(), P(), P()),
+        out_specs=(spec, P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def build_decomp_step_halves(sim, dec, row_cap=None):
+    """The two jitted halves of the distributed step (collide / finish),
+    for the mid-step host ridge/raft placement (the distributed analog of
+    simulation.build_step_parts):
+
+      collide(floes_d, ocean, domain, tstep)
+          -> (floes_d, domain, stress_instant_d, overflow)
+      finish(floes_d, ocean, domain, stress_instant_d, tstep)
+          -> (floes_d, ocean, domain, overflow)
+    """
+    collide_local, finish_local, _ = _dec_parts(sim, dec, row_cap)
+    spec = _dec_specs(dec)
+    collide = jax.shard_map(
+        collide_local,
+        mesh=dec.mesh,
+        in_specs=(spec, P(), P(), P()),
+        out_specs=(spec, P(), spec, P()),
+        check_vma=False,
+    )
+    finish = jax.shard_map(
+        finish_local,
+        mesh=dec.mesh,
+        in_specs=(spec, P(), P(), spec, P()),
+        out_specs=(spec, P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(collide), jax.jit(finish)
+
+
+def build_decomp_segment(sim, dec, row_cap=None):
+    """Device-resident multi-step segment runner for the distributed path:
+
+      seg(floes_d, ocean, domain, t0, t_stop)
+          -> (floes_d, ocean, domain, t_reached, n_overflow, fuse)
+
+    Advances whole steps inside ONE jitted lax.while_loop (inside the
+    shard_map, so halo/migration ppermutes and grid psums run every
+    iteration with no host round-trip) until t_stop, exiting early when
+    collisions mark a fuse pair - the same segment discipline as the
+    single-device run() (simulation.py run_segment), which run_decomp
+    previously lacked (it paid a host sync per step)."""
+    collide_local, finish_local, axes = _dec_parts(sim, dec, row_cap)
+    local_step = _compose_parts(collide_local, finish_local)
+    check_fuse = sim.collision_settings.collisions_on
+    spec = _dec_specs(dec)
+
+    def seg_local(floes, ocean, domain, t0, t_stop):
+        def cond_fn(c):
+            t, fuse = c[3], c[5]
+            return (t < t_stop) & ~fuse
+
+        def body_fn(c):
+            fl, oc, dm, t, nov, _ = c
+            fl, oc, dm, ov = local_step(fl, oc, dm, t)
+            if check_fuse:
+                fuse = jax.lax.psum(
+                    jnp.any(fl.fuse_with >= 0).astype(jnp.int32), axes
+                ) > 0
+            else:
+                fuse = jnp.asarray(False)
+            return (fl, oc, dm, t + 1, nov + ov.astype(jnp.int32), fuse)
+
+        return jax.lax.while_loop(
+            cond_fn, body_fn,
+            (floes, ocean, domain, t0,
+             jnp.zeros((), jnp.int32), jnp.asarray(False)),
+        )
+
+    fn = jax.shard_map(
+        seg_local,
+        mesh=dec.mesh,
+        in_specs=(spec, P(), P(), P(), P()),
+        out_specs=(spec, P(), P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -468,16 +635,14 @@ def _dec_ndev(dec) -> int:
     return dec.n_dev if isinstance(dec, Decomp) else dec.dx_dev * dec.dy_dev
 
 
-def _dec_build(sim, dec):
-    if isinstance(dec, Decomp):
-        return build_decomp_step(sim, dec)
-    return build_decomp_step_2d(sim, dec)
+def _dec_build(sim, dec, row_cap=None):
+    return build_decomp_step(sim, dec, row_cap)
 
 
-def _dec_distribute(floes: FloeState, domain: Domain, dec) -> FloeState:
+def _dec_distribute(floes: FloeState, domain: Domain, dec, extra=None):
     if isinstance(dec, Decomp):
-        return distribute(floes, domain, dec)
-    return distribute_2d(floes, domain, dec)
+        return distribute(floes, domain, dec, extra=extra)
+    return distribute_2d(floes, domain, dec, extra=extra)
 
 
 def _dec_grow(dec):
@@ -495,21 +660,46 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
     timestep_sim!'s process order,
     /root/reference/src/simulation_components/simulation.jl:94-220).
 
-    Per step the jitted shard_map program advances the distributed pool;
-    at host-process cadences (ridge/raft, fracture, welding, smoothing,
-    fusing) the pool is gathered to the host, the lifecycle passes run on
-    the global pool, and the result is redistributed (new pieces land on
-    their owning slab).  Writers fire on gathered state at their intervals.
-    Overflow (halo/migration/pair capacity) is reported exactly like the
-    single-device driver.
+    Between host events (writer intervals, lifecycle cadences) the
+    distributed steps advance inside ONE jitted lax.while_loop under the
+    shard_map (build_decomp_segment) - no host round-trip per step, the
+    same segment discipline as the single-device run().  The loop exits
+    early when collisions mark a fuse pair (same-step fusing).  At
+    host-process cadences (ridge/raft, fracture, welding, smoothing,
+    fusing) only active rows are gathered to the host, the lifecycle passes
+    run on the global pool, and the result is redistributed (new pieces
+    land on their owning slab).  With ``sim.interleave_ridge_raft`` (the
+    default, matching the single-device driver) the ridge/raft pass runs at
+    the reference's mid-step position between the collide and finish halves
+    of the distributed step (simulation.jl:108-135).  Writers fire on
+    gathered state at their intervals.  Overflow (halo/migration/pair
+    capacity) is reported exactly like the single-device driver.
 
     Returns ``sim`` with its model holding the final gathered pool.
     """
     from ..io.logger import SimulationLogger
-    from ..simulation import _host_lifecycle_passes
+    from ..physics import lifecycle_host as _lifecycle
+    from ..simulation import _host_lifecycle_passes, _host_ridge_raft
 
     logger = SimulationLogger(sim.name)
-    step = _dec_build(sim, dec)
+    # compiled programs, built lazily and invalidated together whenever the
+    # decomposition or a static capacity changes (_dec_grow / cell_cap)
+    programs = {}
+
+    # snapshot the per-floe candidate budget from the USER pool before any
+    # writer replaces sim.model.floes with the gathered (D * local_cap) pool
+    row_cap = max(sim.pair_cap // max(sim.model.floes.capacity, 1), 8)
+
+    def get_program(kind):
+        if kind not in programs:
+            if kind == "step":
+                programs[kind] = _dec_build(sim, dec, row_cap)
+            elif kind == "seg":
+                programs[kind] = build_decomp_segment(sim, dec, row_cap)
+            elif kind == "halves":
+                programs[kind] = build_decomp_step_halves(sim, dec, row_cap)
+        return programs[kind]
+
     domain = sim.model.domain
     floes_d = _dec_distribute(sim.model.floes, domain, dec)
     ocean = sim.model.ocean
@@ -521,18 +711,20 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
     # pair budget is set (as row_cap * gathered capacity) right before each
     # _host_lifecycle_passes call, since _dec_grow can change the capacity
     host_sim = copy.copy(sim)
-    row_cap = max(sim.pair_cap // max(sim.model.floes.capacity, 1), 8)
     host_sim.bins = None  # gathered pool is unsorted; dense broad phase
 
-    def host_ops_due(tstep):
+    rr = sim.ridgeraft_settings
+    rr_on = rr.ridge_raft_on and rr.dt > 0
+    rr_mid_step = sim.interleave_ridge_raft and rr_on
+
+    def host_ops_due(tstep, include_rr=True):
         if tstep <= 0:
             return False
-        rr = sim.ridgeraft_settings
         fr = sim.fracture_settings
         ws = sim.weld_settings
         sp = sim.simp_settings
         due = (
-            (rr.ridge_raft_on and rr.dt > 0 and tstep % rr.dt == 0)
+            (include_rr and rr_on and tstep % rr.dt == 0)
             or (fr.fractures_on and fr.dt > 0 and tstep % fr.dt == 0)
             or (ws.weld_on and any(tstep % wdt == 0 for wdt in ws.dts))
             or (
@@ -587,8 +779,120 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
         return max(want, cur, 128)
 
     host_cap = _host_cap_for(int(jnp.sum(sim.model.floes.active)))
+
+    def gather_active_grow(floes_d):
+        nonlocal host_cap
+        host_cap = _host_cap_for(int(jnp.sum(floes_d.active)), cur=host_cap)
+        g, hc_over = gather_active(floes_d, host_cap)
+        while hc_over:
+            host_cap = 2 * host_cap
+            g, hc_over = gather_active(floes_d, host_cap)
+        return _fuse_ids_to_rows(g)
+
+    def redistribute(g, tstep, extra=None):
+        """Re-place a host pool onto the decomposition, growing slab
+        capacities and/or the coupling window (recompile) as needed."""
+        nonlocal dec
+        rebuild = False
+        if sim.coupling_settings.two_way_coupling_on:
+            cap = _cell_cap_needed(g)
+            if cap > sim.cell_cap:
+                sim.cell_cap = cap
+                rebuild = True
+                logger.warn(
+                    f"floe growth outran the two-way coupling window: "
+                    f"growing cell_cap to {cap} and recompiling",
+                    tstep,
+                )
+        try:
+            if rebuild:
+                programs.clear()
+            return _dec_distribute(g, domain, dec, extra=extra)
+        except ValueError:
+            # fracture/welding grew a slab past local_cap: rebuild the
+            # decomposition with more headroom (rare recompile; the
+            # fixed-shape analog of the reference's growable arrays)
+            dec = _dec_grow(dec)
+            logger.warn(
+                f"slab overflow: growing local_cap to {dec.local_cap} "
+                "and recompiling the decomposed step",
+                tstep,
+            )
+            programs.clear()
+            return _dec_distribute(g, domain, dec, extra=extra)
+
+    # ---- segment scheduling (mirrors simulation.run) ----------------------
+    # Between host events the distributed steps run inside ONE jitted
+    # lax.while_loop under the shard_map (build_decomp_segment), exiting
+    # early when collisions mark a fuse pair; the driver only syncs at
+    # writer/verbose/lifecycle-cadence steps.
+    use_segments = callback is None
+    pre_cads = []
+    post_cads = []
+    if use_segments:
+        if sim.writers is not None:
+            for w in (sim.writers.floes, sim.writers.grid,
+                      sim.writers.checkpoint):
+                if w is not None:
+                    pre_cads.append(w.interval)
+        if sim.verbose:
+            pre_cads.append(50)
+        if rr_mid_step:
+            pre_cads.append(rr.dt)
+        elif rr_on:
+            post_cads.append(rr.dt)
+        fr = sim.fracture_settings
+        if fr.fractures_on and fr.dt > 0:
+            post_cads.append(fr.dt)
+        if sim.weld_settings.weld_on:
+            post_cads.extend(sim.weld_settings.dts)
+        if (
+            sim.simp_settings.smooth_vertices_on
+            and sim.simp_settings.dt_smooth > 0
+        ):
+            post_cads.append(sim.simp_settings.dt_smooth)
+
+    def _next_on(t, c, skip_zero):
+        s = ((t + c - 1) // c) * c
+        return c if (skip_zero and s == 0) else s
+
+    end_tstep = start_tstep + sim.n_dt
     tstep = start_tstep
-    while tstep <= start_tstep + sim.n_dt:
+    while tstep <= end_tstep:
+        if use_segments:
+            t_stop = end_tstep + 1
+            for c in pre_cads:
+                t_stop = min(t_stop, _next_on(tstep, c, skip_zero=False))
+            for c in post_cads:
+                t_stop = min(t_stop, _next_on(tstep, c, skip_zero=True))
+            if t_stop > tstep:
+                seg = get_program("seg")
+                floes_d, ocean, domain, t_dev, nov, fuse = seg(
+                    floes_d, ocean, domain,
+                    jnp.asarray(tstep, jnp.int32),
+                    jnp.asarray(t_stop, jnp.int32),
+                )
+                nov = int(nov)
+                seg_len = int(t_dev) - tstep
+                tstep = int(t_dev)
+                if nov:
+                    n_overflow += nov
+                    logger.warn(
+                        f"halo/migration/pair capacity exceeded on {nov} of "
+                        f"the last {seg_len} steps; results may be "
+                        "incomplete",
+                        tstep - 1,
+                    )
+                if bool(fuse) and has_collision_fusing:
+                    # same-step fusing: the host fuse pass must run before
+                    # the next step (collisions.jl:364-368)
+                    g = gather_active_grow(floes_d)
+                    g, state["max_floe_id"] = _lifecycle.fuse_floes(
+                        g, state["max_floe_id"], sim.floe_settings,
+                        float(sim.dt), rng,
+                    )
+                    floes_d = redistribute(g, tstep)
+                continue  # tstep now sits on a host event (or past the end)
         if sim.verbose and tstep % 50 == 0:
             print(f"{tstep} timesteps")
         if callback is not None or writers_due(tstep):
@@ -603,9 +907,36 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
                     sim, tstep, g, ocean, domain,
                     rng_state=rng.bit_generator.state,
                 )
-        floes_d, ocean, domain, overflow = step(
-            floes_d, ocean, domain, jnp.asarray(tstep)
-        )
+        rr_now = rr_mid_step and tstep % rr.dt == 0 and tstep > 0
+        if rr_now:
+            # the reference's mid-step ridge/raft placement: collisions ->
+            # ridge/raft -> coupling/integration (simulation.jl:108-135).
+            # The full pool is gathered 1:1 (rows aligned with the
+            # distributed layout), the host pass mutates it in place, and
+            # distribute(extra=...) re-places the per-floe instantaneous
+            # stress rows alongside the floes (pieces created mid-step
+            # carry zero stress, exactly like the single-device driver).
+            collide_d, finish_d = get_program("halves")
+            floes_d, domain, si_d, ov1 = collide_d(
+                floes_d, ocean, domain, jnp.asarray(tstep)
+            )
+            g = gather(floes_d)
+            si = jnp.asarray(np.asarray(si_d))
+            host_sim.pair_cap = row_cap * g.capacity
+            g = _host_ridge_raft(
+                host_sim, g, domain, tstep, rng, state, logger
+            )
+            floes_d, si_d = redistribute(g, tstep, extra=si)
+            collide_d, finish_d = get_program("halves")
+            floes_d, ocean, domain, ov2 = finish_d(
+                floes_d, ocean, domain, si_d, jnp.asarray(tstep)
+            )
+            overflow = bool(ov1) | bool(ov2)
+        else:
+            step = get_program("step")
+            floes_d, ocean, domain, overflow = step(
+                floes_d, ocean, domain, jnp.asarray(tstep)
+            )
         if bool(overflow):
             n_overflow += 1
             logger.warn(
@@ -613,49 +944,17 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
                 "incomplete this step",
                 tstep,
             )
-        need_host = host_ops_due(tstep) or (
+        need_host = host_ops_due(tstep, include_rr=not rr_now) or (
             has_collision_fusing and bool(jnp.any(floes_d.fuse_with >= 0))
         )
         if need_host:
-            host_cap = _host_cap_for(
-                int(jnp.sum(floes_d.active)), cur=host_cap
-            )
-            g, hc_over = gather_active(floes_d, host_cap)
-            while hc_over:
-                host_cap = 2 * host_cap
-                g, hc_over = gather_active(floes_d, host_cap)
+            g = gather_active_grow(floes_d)
             host_sim.pair_cap = row_cap * g.capacity
-            g = _fuse_ids_to_rows(g)
             g = _host_lifecycle_passes(
-                host_sim, g, domain, tstep, rng, state, logger
+                host_sim, g, domain, tstep, rng, state, logger,
+                skip_ridge_raft=rr_now,
             )
-            rebuild = False
-            if sim.coupling_settings.two_way_coupling_on:
-                cap = _cell_cap_needed(g)
-                if cap > sim.cell_cap:
-                    sim.cell_cap = cap
-                    rebuild = True
-                    logger.warn(
-                        f"floe growth outran the two-way coupling window: "
-                        f"growing cell_cap to {cap} and recompiling",
-                        tstep,
-                    )
-            try:
-                if rebuild:
-                    step = _dec_build(sim, dec)
-                floes_d = _dec_distribute(g, domain, dec)
-            except ValueError:
-                # fracture/welding grew a slab past local_cap: rebuild the
-                # decomposition with more headroom (rare recompile; the
-                # fixed-shape analog of the reference's growable arrays)
-                dec = _dec_grow(dec)
-                logger.warn(
-                    f"slab overflow: growing local_cap to {dec.local_cap} "
-                    "and recompiling the decomposed step",
-                    tstep,
-                )
-                step = _dec_build(sim, dec)
-                floes_d = _dec_distribute(g, domain, dec)
+            floes_d = redistribute(g, tstep)
         tstep += 1
     n_overflow += state.get("n_overflow", 0)
     if n_overflow:
@@ -801,9 +1100,10 @@ def make_decomp_2d(
     )
 
 
-def distribute_2d(floes: FloeState, domain: Domain, dec: Decomp2D) -> FloeState:
+def distribute_2d(floes: FloeState, domain: Domain, dec: Decomp2D, extra=None):
     """Partition a global pool into per-(x,y)-slab local pools: row block
-    (ix * Dy + iy) * local_cap holds slab (ix, iy)."""
+    (ix * Dy + iy) * local_cap holds slab (ix, iy).  ``extra``: see
+    ``distribute``."""
     from ..core.domain import NORTH, SOUTH
 
     Dx, Dy, Nl = dec.dx_dev, dec.dy_dev, dec.local_cap
@@ -833,13 +1133,25 @@ def distribute_2d(floes: FloeState, domain: Domain, dec: Decomp2D) -> FloeState:
 
     stacked = jax.tree.map(place, floes)
     sharding = NamedSharding(dec.mesh, P(("x", "y")))
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), stacked)
+    out = jax.tree.map(lambda a: jax.device_put(a, sharding), stacked)
+    if extra is None:
+        return out
+    extra_out = jax.tree.map(
+        lambda a: jax.device_put(place(a), sharding), extra
+    )
+    return out, extra_out
 
 
 def build_decomp_step_2d(sim, dec: Decomp2D):
-    """Compile one distributed step over a 2-D (x, y) slab mesh.
+    """Compile one distributed step over a 2-D (x, y) slab mesh (same
+    contract as build_decomp_step)."""
+    return build_decomp_step(sim, dec)
 
-    Same pipeline as the 1-D build_decomp_step; halo exchange and migration
+
+def _make_parts_2d(sim, dec: Decomp2D, row_cap=None):
+    """collide/finish SPMD halves of the 2-D (x, y) slab step.
+
+    Same pipeline as the 1-D _make_parts_1d; halo exchange and migration
     run in two axis passes (x then y over the x-extended pool), which
     covers corner-diagonal neighbors with 4 ppermutes.
     """
@@ -857,8 +1169,15 @@ def build_decomp_step_2d(sim, dec: Decomp2D):
     H = dec.halo_cap
     Hm = dec.mig_cap
     ext_cap = Nl + 4 * H
-    row_cap = max(sim.pair_cap // max(sim.model.floes.capacity, 1), 8)
-    pair_cap = max(row_cap * ext_cap, 256)
+    # see _make_parts_1d: row_cap snapshots the USER pool's per-floe budget
+    if row_cap is None:
+        row_cap = max(sim.pair_cap // max(sim.model.floes.capacity, 1), 8)
+    # only the Nl local rows consume candidate budget (owned_rows prunes
+    # halo rows from the broad phase).  Seam rows own their full halo
+    # contact degree instead of the parity-halved share; the second-chance
+    # spill list (_extra_cap) absorbs those few deep rows, so the global
+    # budget stays at the single-device row_cap * pool size.
+    pair_cap = max(row_cap * Nl, 256)
 
     def perms(D, wrap):
         fwd = [(d, (d + 1) % D) for d in range(D if wrap else D - 1)]
@@ -894,6 +1213,8 @@ def build_decomp_step_2d(sim, dec: Decomp2D):
 
     def migrate_axis(floes, axis, D, me, origin, slab_w, coord, wrap, overflow):
         """Move floes whose centroid left this axis's slab to the owner."""
+        if D == 1:
+            return floes, overflow
         c = floes.centroid[:, coord]
         dest = jnp.clip(
             jnp.floor((c - origin) / slab_w).astype(jnp.int32), 0, D - 1
@@ -925,7 +1246,7 @@ def build_decomp_step_2d(sim, dec: Decomp2D):
             )
         return floes, overflow
 
-    def local_step(floes, ocean, domain: Domain, tstep):
+    def collide_local(floes, ocean, domain: Domain, tstep):
         me_x = jax.lax.axis_index("x")
         me_y = jax.lax.axis_index("y")
         vals = domain.vals
@@ -940,32 +1261,42 @@ def build_decomp_step_2d(sim, dec: Decomp2D):
         overflow = jnp.asarray(False)
 
         # ---- halo exchange: x, then y over the x-extended pool ----------
-        rl, rh, ov = halo_axis(
-            floes, "x", Dx, me_x, lo_x, lo_x + slab_x, Lx,
-            domain.ew_periodic, 0, dec.margin,
-        )
-        overflow = overflow | ov
-        ext_x = jax.tree.map(
-            lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
-            floes, _as_halo_state(floes, rl, H), _as_halo_state(floes, rh, H),
-        )
-        rd, ru, ov = halo_axis(
-            ext_x, "y", Dy, me_y, lo_y, lo_y + slab_y, Ly,
-            domain.ns_periodic, 1, dec.margin,
-        )
-        overflow = overflow | ov
-        ext = jax.tree.map(
-            lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
-            ext_x,
-            _as_halo_state(floes, rd, H),
-            _as_halo_state(floes, ru, H),
-        )
+        # (1-slab axes skip their pass: min-image shifts cover wrap)
+        if Dx == 1:
+            ext_x = floes
+        else:
+            rl, rh, ov = halo_axis(
+                floes, "x", Dx, me_x, lo_x, lo_x + slab_x, Lx,
+                domain.ew_periodic, 0, dec.margin,
+            )
+            overflow = overflow | ov
+            ext_x = jax.tree.map(
+                lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+                floes,
+                _as_halo_state(floes, rl, H),
+                _as_halo_state(floes, rh, H),
+            )
+        if Dy == 1:
+            ext = ext_x
+        else:
+            rd, ru, ov = halo_axis(
+                ext_x, "y", Dy, me_y, lo_y, lo_y + slab_y, Ly,
+                domain.ns_periodic, 1, dec.margin,
+            )
+            overflow = overflow | ov
+            ext = jax.tree.map(
+                lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+                ext_x,
+                _as_halo_state(floes, rd, H),
+                _as_halo_state(floes, ru, H),
+            )
 
         # ---- collisions on the extended pool -----------------------------
         stress_instant = jnp.zeros_like(floes.stress_accum)
         if cls.collisions_on:
             res = _collisions.timestep_collisions(
-                ext, domain, consts, dt, cls, pair_cap, sim.clip_cap, None
+                ext, domain, consts, dt, cls, pair_cap, sim.clip_cap, None,
+                owned_rows=Nl,
             )
             loc = jax.tree.map(lambda a: a[:Nl], res.floes)
             floes = floes._replace(
@@ -978,6 +1309,20 @@ def build_decomp_step_2d(sim, dec: Decomp2D):
             stress_instant = res.stress_instant[:Nl]
             overflow = overflow | res.overflow
         domain = domain.update_boundaries(dt)
+        overflow = (
+            jax.lax.psum(overflow.astype(jnp.int32), ("x", "y")) > 0
+        )
+        return floes, domain, stress_instant, overflow
+
+    def finish_local(floes, ocean, domain: Domain, stress_instant, tstep):
+        me_x = jax.lax.axis_index("x")
+        me_y = jax.lax.axis_index("y")
+        vals = domain.vals
+        w_val, e_val = vals[WEST], vals[EAST]
+        s_val, n_val = vals[SOUTH], vals[NORTH]
+        slab_x = (e_val - w_val) / Dx
+        slab_y = (n_val - s_val) / Dy
+        overflow = jnp.asarray(False)
 
         # ---- coupling (psum over both axes) -------------------------------
         if cps.coupling_on:
@@ -1030,11 +1375,4 @@ def build_decomp_step_2d(sim, dec: Decomp2D):
         overflow = jax.lax.psum(overflow.astype(jnp.int32), ("x", "y")) > 0
         return floes, ocean, domain, overflow
 
-    fn = jax.shard_map(
-        local_step,
-        mesh=dec.mesh,
-        in_specs=(P(("x", "y")), P(), P(), P()),
-        out_specs=(P(("x", "y")), P(), P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(fn)
+    return collide_local, finish_local

@@ -77,6 +77,7 @@ def find_candidate_pairs(
     domain: Domain,
     pair_cap: int,
     bins: tuple | None = None,
+    owned_rows: int | None = None,
 ) -> PairArrays:
     """Broad phase: bounding-circle tests over all i<j pairs plus walls and
     topography (potential_interaction, collisions.jl:705-710).
@@ -90,10 +91,17 @@ def find_candidate_pairs(
     ``bins``: optional static (nbx, nby, M) spatial binning parameters - when
     given, floe-floe candidates come from 3x3 neighborhoods of a spatial bin
     grid (O(N * M) instead of O(N^2)); M is the per-bin floe capacity.
+
+    ``owned_rows``: when the pool is a distributed local block extended with
+    halo copies (parallel/decomp.py), rows >= owned_rows are halos: pairs
+    between two halo copies are the neighbor device's responsibility and are
+    skipped entirely, and local-halo pairs are always owned by the local
+    row (so halo rows consume no candidate budget).  None = every row owned.
     """
     if bins is not None:
+        assert owned_rows is None, "binned broad phase is single-pool only"
         return _find_candidate_pairs_binned(floes, domain, pair_cap, bins)
-    return _find_candidate_pairs_dense(floes, domain, pair_cap)
+    return _find_candidate_pairs_dense(floes, domain, pair_cap, owned_rows)
 
 
 def _rank_select_rows(mask, row_cap, extra_cap=0):
@@ -229,6 +237,7 @@ def _find_candidate_pairs_dense(
     floes: FloeState,
     domain: Domain,
     pair_cap: int,
+    owned_rows: int | None = None,
 ) -> PairArrays:
     N = floes.capacity
     c = floes.centroid
@@ -260,33 +269,54 @@ def _find_candidate_pairs_dense(
     lt = iidx[:, None] < iidx[None, :]
     even = ((iidx[:, None] + iidx[None, :]) % 2) == 0
     own = (even == lt) & (iidx[:, None] != iidx[None, :])
+    if owned_rows is not None:
+        # extended distributed pool: halo-halo pairs are skipped (the
+        # neighbor owning both floes computes them), local-halo pairs are
+        # owned by the local row so halo rows carry no candidates at all
+        loc_i = iidx[:, None] < owned_rows
+        loc_j = iidx[None, :] < owned_rows
+        own = jnp.where(loc_i & loc_j, own, loc_i & ~loc_j)
     pair_mask = act[:, None] & act[None, :] & (dist2 < rsum**2) & own
 
     fw, ft = _wall_topo_masks(floes, domain)
     T = domain.topography.count
+    if owned_rows is not None:
+        # halo copies also skip wall/topography contacts (owner computes)
+        loc_rows = (iidx < owned_rows)[:, None]
+        fw = fw & loc_rows
+        ft = ft & loc_rows
 
-    # unified candidate matrix over the Q pool: [N, N+4+T]
-    mask = jnp.concatenate([pair_mask, fw, ft], axis=1)
+    # unified candidate matrix over the Q pool: [NR, N+4+T] - NR = N unless
+    # owned_rows restricts the row-structured list to the local block (halo
+    # rows then carry no candidates and consume no pair budget)
+    NR = N if owned_rows is None else owned_rows
+    mask = jnp.concatenate([pair_mask, fw, ft], axis=1)[:NR]
     NQ = N + 4 + T
-    row_cap = max(min(pair_cap // max(N, 1), NQ), 8)
+    row_cap = max(min(pair_cap // max(NR, 1), NQ), 8)
     E = _extra_cap(N)
     sel, valid, overflow, epos = _rank_select_rows(mask, row_cap, extra_cap=E)
 
-    qi = jnp.broadcast_to(iidx[:, None], (N, row_cap)).reshape(-1).astype(jnp.int32)
+    qi = jnp.broadcast_to(
+        iidx[:NR, None], (NR, row_cap)
+    ).reshape(-1).astype(jnp.int32)
     qj = jnp.minimum(sel, NQ - 1).reshape(-1).astype(jnp.int32)
     is_ff = qj < N
     jsafe = jnp.minimum(qj, N - 1)
-    sxg = jnp.take_along_axis(sx, jsafe.reshape(N, row_cap), axis=1).reshape(-1)
-    syg = jnp.take_along_axis(sy, jsafe.reshape(N, row_cap), axis=1).reshape(-1)
+    sxg = jnp.take_along_axis(
+        sx[:NR], jsafe.reshape(NR, row_cap), axis=1
+    ).reshape(-1)
+    syg = jnp.take_along_axis(
+        sy[:NR], jsafe.reshape(NR, row_cap), axis=1
+    ).reshape(-1)
     shift = jnp.where(
         is_ff[:, None],
         jnp.stack([sxg, syg], axis=-1),
         0.0,
     )
 
-    # second-chance block: flat positions into [N, NQ]
-    evalid = epos < N * NQ
-    eps_ = jnp.minimum(epos, N * NQ - 1)
+    # second-chance block: flat positions into [NR, NQ]
+    evalid = epos < NR * NQ
+    eps_ = jnp.minimum(epos, NR * NQ - 1)
     ei = jnp.where(evalid, eps_ // NQ, N - 1).astype(jnp.int32)
     ecol = jnp.where(evalid, eps_ % NQ, N - 1).astype(jnp.int32)
     e_is_ff = ecol < N
@@ -762,19 +792,21 @@ def _gather_sides(
     i: jnp.ndarray,
     j: jnp.ndarray,
     row_cap: int | None = None,
+    n_rows: int | None = None,
 ) -> _PairSides:
     N = floes.capacity
+    NR = N if n_rows is None else n_rows
 
     if row_cap is not None:
-        # hybrid layout: the first N*row_cap entries are row-structured
+        # hybrid layout: the first NR*row_cap entries are row-structured
         # (i == k // row_cap -> broadcast, no gather); any remaining
         # second-chance entries carry arbitrary i and are gathered
-        R = N * row_cap
+        R = NR * row_cap
         E = i.shape[0] - R
 
         def bi(x):
             b = jnp.broadcast_to(
-                x[:, None], (N, row_cap) + x.shape[1:]
+                x[:NR, None], (NR, row_cap) + x.shape[1:]
             ).reshape((R,) + x.shape[1:])
             if E == 0:
                 return b
@@ -958,6 +990,7 @@ def _accumulate_contacts(
     fp: jnp.ndarray,         # [K, R, 2]
     overlap_rec: jnp.ndarray,  # [K, R]
     row_cap: int | None = None,
+    n_rows: int | None = None,
 ):
     """Symmetric +F/-F accumulation of one contact list onto the floe pool
     (replaces the reference's serial reaction pass, collisions.jl:799-862).
@@ -1011,8 +1044,13 @@ def _accumulate_contacts(
     pay_j = jnp.where(is_ff[:, None], pay_j, 0.0)
 
     if row_cap is not None:
-        R = N * row_cap
-        acc_i = jnp.sum(pay_i[:R].reshape(N, row_cap, -1), axis=1)  # [N, 7]
+        NR = N if n_rows is None else n_rows
+        R = NR * row_cap
+        acc_i = jnp.sum(pay_i[:R].reshape(NR, row_cap, -1), axis=1)  # [NR, 7]
+        if NR < N:
+            acc_i = jnp.concatenate(
+                [acc_i, jnp.zeros((N - NR, acc_i.shape[1]), acc_i.dtype)]
+            )
         if K > R:  # second-chance entries: arbitrary i
             seg_ie = jnp.where(pair_valid[R:], i[R:], N).astype(jnp.int32)
             acc_i = acc_i + _onehot_sum(pay_i[R:], seg_ie, N)
@@ -1048,14 +1086,21 @@ def timestep_collisions(
     pair_cap: int,
     clip_cap: int = DEFAULT_CAP,
     bins: tuple | None = None,
+    owned_rows: int | None = None,
 ) -> CollisionResult:
-    """timestep_collisions! (collisions.jl:734-864), fully batched."""
+    """timestep_collisions! (collisions.jl:734-864), fully batched.
+
+    ``owned_rows``: see find_candidate_pairs - prunes halo-halo and
+    halo-wall candidates when the pool is a halo-extended local block."""
     N = floes.capacity
     V = floes.max_verts
     dtype = floes.verts.dtype
     act = floes.active
+    # NR: number of row-structured candidate rows (< N when halo rows of a
+    # distributed extended pool are pruned from the broad phase)
+    NR = N if owned_rows is None else owned_rows
 
-    pairs = find_candidate_pairs(floes, domain, pair_cap, bins)
+    pairs = find_candidate_pairs(floes, domain, pair_cap, bins, owned_rows)
     PC = pairs.qi.shape[0]
 
     # ---------------- open-boundary removal (collisions.jl:427-441) --------
@@ -1128,10 +1173,10 @@ def timestep_collisions(
         PC = KC
         row_cap0 = None
     else:
-        # hybrid layout from find_candidate_pairs: N*row_cap row-structured
+        # hybrid layout from find_candidate_pairs: NR*row_cap row-structured
         # entries followed by _extra_cap(N) second-chance entries
-        row_cap0 = (PC - _extra_cap(N)) // N
-    sides0 = _gather_sides(floes, q_table, i0, j0, row_cap=row_cap0)
+        row_cap0 = (PC - _extra_cap(N)) // NR
+    sides0 = _gather_sides(floes, q_table, i0, j0, row_cap=row_cap0, n_rows=NR)
 
     # deterministic degeneracy-breaking perturbation, scaled to the pair
     eps_rel = 1e-9 if dtype == jnp.float64 else 2e-6
@@ -1146,11 +1191,13 @@ def timestep_collisions(
     # contraction it replaces, which materializes PC x NQ and grows
     # quadratic-ish with pool size)
     if row_cap0 is not None:
-        R0 = N * row_cap0
+        R0 = NR * row_cap0
         pv0 = jnp.broadcast_to(
-            floes.verts[:, None], (N, row_cap0, V, 2)
+            floes.verts[:NR, None], (NR, row_cap0, V, 2)
         ).reshape(R0, V, 2)
-        pn0 = jnp.broadcast_to(floes.nverts[:, None], (N, row_cap0)).reshape(R0)
+        pn0 = jnp.broadcast_to(
+            floes.nverts[:NR, None], (NR, row_cap0)
+        ).reshape(R0)
         if PC > R0:  # second-chance entries: arbitrary i, gathered
             pv0 = jnp.concatenate([pv0, floes.verts[i0[R0:]]], axis=0)
             pn0 = jnp.concatenate([pn0, floes.nverts[i0[R0:]]], axis=0)
@@ -1304,7 +1351,7 @@ def timestep_collisions(
     )
     f_acc = _accumulate_contacts(
         N, i0, j0, sides0, pvalid0, is_ff_pair0, pairs.shift,
-        f_force, f_fp, f_rec, row_cap=row_cap0,
+        f_force, f_fp, f_rec, row_cap=row_cap0, n_rows=NR,
     )
     s_acc = _accumulate_contacts(
         N, i1, j1, sides1, svalid, sides1.is_floe_j & svalid, shift1,
@@ -1326,13 +1373,27 @@ def timestep_collisions(
     # processes a marked pair from either endpoint, so the reference's
     # both-floes-marked bookkeeping (collisions.jl:364-368) is redundant.
     if row_cap0 is not None:
-        R0 = N * row_cap0
-        fp_row = fuse_pair0[:R0].reshape(N, row_cap0)
-        fuse_i = jnp.any(fp_row, axis=1)
-        fw_i = jnp.max(
-            jnp.where(fp_row, j0[:R0].reshape(N, row_cap0), -1), axis=1
+        R0 = NR * row_cap0
+
+        def _pad_rows(a, fill):
+            if NR == N:
+                return a
+            return jnp.concatenate(
+                [a, jnp.full((N - NR,) + a.shape[1:], fill, a.dtype)]
+            )
+
+        fp_row = fuse_pair0[:R0].reshape(NR, row_cap0)
+        fuse_i = _pad_rows(jnp.any(fp_row, axis=1), False)
+        fw_i = _pad_rows(
+            jnp.max(
+                jnp.where(fp_row, j0[:R0].reshape(NR, row_cap0), -1), axis=1
+            ),
+            -1,
         )
-        rem_i = jnp.any(dom_remove_pair0[:R0].reshape(N, row_cap0), axis=1)
+        rem_i = _pad_rows(
+            jnp.any(dom_remove_pair0[:R0].reshape(NR, row_cap0), axis=1),
+            False,
+        )
         if PC > R0:  # second-chance entries via segment_max over their i
             ie = i0[R0:]
             seg_f = jnp.where(fuse_pair0[R0:], ie, N).astype(jnp.int32)

@@ -16,7 +16,12 @@ from subzero_tpu.core import (
     make_ocean,
 )
 from subzero_tpu.parallel import make_mesh, sharded_step
-from subzero_tpu.settings import CouplingSettings, FloeSettings, SubGridPointsGenerator
+from subzero_tpu.settings import (
+    CouplingSettings,
+    FloeSettings,
+    RidgeRaftSettings,
+    SubGridPointsGenerator,
+)
 from subzero_tpu.simulation import Simulation, build_step
 
 
@@ -366,6 +371,38 @@ def test_run_decomp_fuses_marked_pair():
     assert max(ids1) > max_id0
     mass1 = float(np.asarray(out.mass)[act].sum())
     np.testing.assert_allclose(mass1, mass0, rtol=1e-9)
+
+
+def test_run_decomp_interleaved_ridge_raft():
+    """run_decomp with ridge/raft ON and interleave_ridge_raft (the
+    default): the rr host pass runs at the reference's mid-step position
+    between the distributed collide and finish halves (simulation.jl:
+    108-135), carrying the per-floe instantaneous stress rows across the
+    redistribution.  Volume must be conserved through ridge/raft mass
+    transfer and the run must stay capacity-clean."""
+    sim = make_wide_sim(
+        coupling_settings=CouplingSettings(two_way_coupling_on=False),
+        ridgeraft_settings=RidgeRaftSettings(
+            ridge_raft_on=True, dt=3, ridge_probability=1.0,
+            raft_probability=1.0, min_overlap_frac=0.0,
+        ),
+    )
+    assert sim.interleave_ridge_raft
+    sim.pair_cap = 32 * sim.model.floes.capacity
+    sim.n_dt = 7
+    m = sim.model
+    act0 = np.asarray(m.floes.active)
+    vol0 = float(
+        (np.asarray(m.floes.area) * np.asarray(m.floes.height))[act0].sum()
+    )
+    dec = make_decomp(m.floes, m.domain, n_devices=4)
+    with np.errstate(all="ignore"):
+        sim = run_decomp(sim, dec)
+    out = sim.model.floes
+    act = np.asarray(out.active)
+    assert act.sum() > 0
+    vol1 = float((np.asarray(out.area) * np.asarray(out.height))[act].sum())
+    np.testing.assert_allclose(vol1, vol0, rtol=1e-6)
 
 
 def test_decomp_scaling_overhead():
