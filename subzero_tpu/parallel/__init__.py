@@ -1,3 +1,4 @@
+from . import multihost  # noqa: F401
 from .mesh import make_mesh, measure_scaling, shard_state, sharded_step  # noqa: F401
 from .decomp import (  # noqa: F401
     Decomp,

@@ -165,7 +165,10 @@ def distribute(floes: FloeState, domain: Domain, dec: Decomp, extra=None):
                     f"slab {d} holds {rows.size} floes > local_cap {Nl}"
                 )
             out[d * Nl : d * Nl + rows.size] = a[rows]
-        return jnp.asarray(out)
+        # host numpy (not a local device array): device_put of a host array
+        # onto a cross-process NamedSharding places each process's
+        # addressable shards, so distribute() works unchanged multi-host
+        return out
 
     stacked = jax.tree.map(place, floes)
     sharding = NamedSharding(dec.mesh, P(dec.axis))
@@ -179,8 +182,15 @@ def distribute(floes: FloeState, domain: Domain, dec: Decomp, extra=None):
 
 
 def gather(floes_dist: FloeState) -> FloeState:
-    """Bring a distributed pool back to host as one (unordered) global pool."""
-    return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), floes_dist)
+    """Bring a distributed pool back to host as one (unordered) global pool.
+
+    Multi-process: replicates across processes first (one all-gather), so
+    EVERY process receives the identical full pool - the SPMD-host
+    discipline run_decomp's lifecycle passes rely on (see
+    parallel/multihost.py)."""
+    from .multihost import replicate_to_host
+
+    return jax.tree.map(jnp.asarray, replicate_to_host(floes_dist))
 
 
 @partial(jax.jit, static_argnames=("host_cap",))
@@ -217,9 +227,14 @@ def _compact_active(floes_dist: FloeState, host_cap: int):
 
 def gather_active(floes_dist: FloeState, host_cap: int):
     """gather() restricted to active rows: compact on device, then pull the
-    [host_cap] pool to host.  Returns (pool, overflow)."""
+    [host_cap] pool to host (replicated to every process when multi-host).
+    Returns (pool, overflow)."""
+    from .multihost import mesh_of, replicate_to_host
+
     out, overflow = _compact_active(floes_dist, host_cap)
-    return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), out), bool(overflow)
+    mesh = mesh_of(floes_dist) if jax.process_count() > 1 else None
+    out = jax.tree.map(jnp.asarray, replicate_to_host(out, mesh=mesh))
+    return out, bool(overflow)
 
 
 def _fuse_with_to_ids(fuse_with, ext: FloeState):
@@ -654,6 +669,19 @@ def _dec_grow(dec):
     )
 
 
+class _NullLogger:
+    """Logger stand-in for non-I/O processes of a multi-host run."""
+
+    def log(self, *a, **k):
+        pass
+
+    def warn(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
     """run! over a 1-D (``Decomp``) or 2-D (``Decomp2D``) domain
     decomposition (the distributed analog of simulation.run, mirroring
@@ -680,8 +708,14 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
     from ..io.logger import SimulationLogger
     from ..physics import lifecycle_host as _lifecycle
     from ..simulation import _host_lifecycle_passes, _host_ridge_raft
+    from .multihost import is_io_process
 
-    logger = SimulationLogger(sim.name)
+    # multi-process (multi-host) runs execute this loop SPMD on every
+    # process: device state is globally sharded, host lifecycle passes run
+    # identically everywhere on replicated gathers (parallel/multihost.py),
+    # and only process 0 performs I/O (writers, log file, progress prints)
+    io_proc = is_io_process()
+    logger = SimulationLogger(sim.name) if io_proc else _NullLogger()
     # compiled programs, built lazily and invalidated together whenever the
     # decomposition or a static capacity changes (_dec_grow / cell_cap)
     programs = {}
@@ -893,13 +927,15 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
                     )
                     floes_d = redistribute(g, tstep)
                 continue  # tstep now sits on a host event (or past the end)
-        if sim.verbose and tstep % 50 == 0:
+        if sim.verbose and tstep % 50 == 0 and io_proc:
             print(f"{tstep} timesteps")
         if callback is not None or writers_due(tstep):
+            # the gather is a collective - every process participates even
+            # though only process 0 writes
             g = gather(floes_d)
             if callback is not None:
                 callback(tstep, g, ocean, domain)
-            if writers_due(tstep):
+            if writers_due(tstep) and io_proc:
                 sim.model = sim.model.replace(
                     floes=g, ocean=ocean, domain=domain
                 )
@@ -957,14 +993,14 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
             floes_d = redistribute(g, tstep)
         tstep += 1
     n_overflow += state.get("n_overflow", 0)
-    if n_overflow:
+    if n_overflow and io_proc:
         import warnings
 
         warnings.warn(
             f"{n_overflow} steps exceeded a decomposition capacity; results "
             "may be inaccurate. Increase halo/mig/pair caps."
         )
-    if sim.writers is not None:
+    if sim.writers is not None and io_proc:
         sim.writers.close()
     logger.close()
     sim.model = sim.model.replace(
@@ -1129,7 +1165,7 @@ def distribute_2d(floes: FloeState, domain: Domain, dec: Decomp2D, extra=None):
                     f"slab {d} holds {rows.size} floes > local_cap {Nl}"
                 )
             out[d * Nl : d * Nl + rows.size] = a[rows]
-        return jnp.asarray(out)
+        return out  # host numpy; see distribute()
 
     stacked = jax.tree.map(place, floes)
     sharding = NamedSharding(dec.mesh, P(("x", "y")))

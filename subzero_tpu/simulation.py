@@ -41,6 +41,14 @@ from .settings import (
 )
 
 
+# Dense-vs-binned crossover for bins="auto" (active floe count).  TPU v5e
+# measurements (bench.py, f32, two-way coupling on): dense wins at N=2000
+# (2.63 M pairs/s), binned wins at N=8016; the crossover sits between, and
+# the dense [N, N] mask's footprint grows quadratically - 6000 keeps
+# comfortably to the winning side at scale.
+AUTO_BINS_MIN_N = 6000
+
+
 @dataclasses.dataclass
 class Simulation:
     model: Model
@@ -74,7 +82,11 @@ class Simulation:
     pair_cap: Optional[int] = None
     cell_cap: Optional[int] = None
     clip_cap: int = 16
-    bins: Optional[tuple] = None  # (nbx, nby, M) spatial broad-phase binning
+    # (nbx, nby, M) spatial broad-phase binning.  "auto" (the default)
+    # enables binning when the active floe count reaches AUTO_BINS_MIN_N
+    # (parameters from _auto_bins); None forces the dense broad phase; an
+    # explicit tuple forces those bin parameters.
+    bins: Any = "auto"
 
     def __post_init__(self):
         N = self.model.floes.capacity
@@ -86,13 +98,17 @@ class Simulation:
             g = self.model.grid
             cap = int(2 * np.ceil(1.5 * rmax / min(g.dx, g.dy)) + 3)
             self.cell_cap = min(cap, max(g.Nx, g.Ny) + 1)
-        # The dense [N, N] broad phase is pure well-tiled VPU work and stays
-        # above 1.2M pairs/s/chip through at least N=4k on TPU v5e; the
-        # binned variant is slower there (gather chains) and its argsort/
-        # scatter combination has been observed to fault the TPU runtime
-        # under lax.scan. Binning is therefore explicit opt-in
-        # (Simulation(bins=(nbx, nby, M)); _auto_bins picks parameters),
-        # CPU-validated equivalent by tests/test_binned.py.
+        # The dense [N, N] broad phase is pure well-tiled VPU work and wins
+        # below a few thousand floes on TPU v5e (binned pays gather chains);
+        # past the crossover the O(N * M) binned phase wins and keeps
+        # growing headroom.  bins="auto" switches at AUTO_BINS_MIN_N
+        # (TPU A/B at N=8016: see BENCH detail / tools/bench notes);
+        # equivalence is CPU-validated by tests/test_binned.py.
+        if isinstance(self.bins, str) and self.bins == "auto":
+            n_act = int(jnp.sum(self.model.floes.active))
+            self.bins = (
+                _auto_bins(self.model) if n_act >= AUTO_BINS_MIN_N else None
+            )
 
 
 def _auto_bins(model: Model) -> Optional[tuple]:
