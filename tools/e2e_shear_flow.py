@@ -61,9 +61,9 @@ def main():
     )
     print(
         f"overflow steps: {n_overflow_steps}; mass {mass0:.6e} -> "
-        f"{mass1:.6e} ({(mass1 - mass0) / mass0 * 100:+.4f}% incl. "
-        f"dissolved min-area floes); final KE {em['ke']:.4e}, "
-        f"|p| {np.hypot(em['px'], em['py']):.4e}",
+        f"{mass1:.6e} ({(mass1 - mass0) / mass0 * 100:+.4f}%: thermodynamic "
+        f"growth at -1 degC atmos, minus dissolved min-area floes); "
+        f"final KE {em['ke']:.4e}, |p| {np.hypot(em['px'], em['py']):.4e}",
         flush=True,
     )
     if n_overflow_steps:
