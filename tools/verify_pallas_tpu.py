@@ -11,8 +11,8 @@ Run on TPU:
     nohup /tmp/run_tpu.sh /tmp/verify_pallas.out 1800 tools/verify_pallas_tpu.py &
 
 Result (2026-08-21, round 4, TPU v5e, 509-floe shear_flow state after 200
-steps, f32): PASS - max rel force diff 8.4e-06, torque 1.2e-05, identical
-overflow flags.  (Recorded in the log file above; rerun to refresh.)
+steps, f32): PASS - max rel diffs 0.0 for force, torque AND stress
+(bitwise identical), identical overflow flags.
 """
 
 import os
