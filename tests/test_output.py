@@ -202,3 +202,25 @@ def test_floe_writer_interactions_output(tmp_path):
         assert "interactions" in f["5"]
         assert f["5/interactions"].shape[1] == 8
         assert "num_inters" in f["5"]
+
+
+def test_analyze_floe_timeseries(sim):
+    """tools/analyze_floe (working replacement for the reference's dead
+    analyze_floe.jl): extract one floe's time series from the floes.h5
+    output and render the diagnostic panel."""
+    from subzero_tpu.tools.analyze_floe import (
+        floe_timeseries,
+        plot_floe_analysis,
+    )
+
+    s, tmp_path = sim
+    run(s)
+    path = os.path.join(str(tmp_path), "floes.h5")
+    with h5py.File(path, "r") as f:
+        fid = int(np.asarray(f["0"]["id"])[0])
+    ts, d = floe_timeseries(path, fid, ("u", "centroid", "mass"))
+    assert len(ts) == 6  # steps 0, 10, ..., 50
+    assert d["centroid"].shape == (6, 2)
+    assert np.all(d["mass"] > 0)
+    pngs = plot_floe_analysis(path, fid, str(tmp_path / "analysis"))
+    assert len(pngs) == 5 and all(os.path.exists(p) for p in pngs)
