@@ -204,6 +204,198 @@ def calc_one_way_coupling(
     )
 
 
+def _floe_cell_areas(floes, grid, domain, cell_cap, cx0, cy0, offs):
+    """Per-floe cell window + exact ice area per window cell.
+
+    Shared by the point-based two-way coupling and the Eulerian OA mode:
+    a cell_cap x cell_cap window of line-centered cells around each floe's
+    centroid, with the floe's polygon clipped against every cell rect
+    (closed-form clamped-shoelace, exact for the axis-aligned convex cell).
+    Returns (wx, wy, wxs, wys, pair_ok, w_area): unshifted window indices,
+    periodic-shifted/clamped indices, validity, and ice area per cell."""
+    N = floes.centroid.shape[0]
+    wx = cx0[:, None] + offs[None, :]      # [N, cap]
+    wy = cy0[:, None] + offs[None, :]
+    # shift (periodic) or clamp-invalid (non-periodic)
+    if domain.ew_periodic:
+        wxs = jnp.mod(wx, grid.Nx)
+        wx_ok = jnp.ones_like(wx, bool)
+    else:
+        wxs = jnp.clip(wx, 0, grid.Nx)
+        wx_ok = (wx >= 0) & (wx <= grid.Nx)
+    if domain.ns_periodic:
+        wys = jnp.mod(wy, grid.Ny)
+        wy_ok = jnp.ones_like(wy, bool)
+    else:
+        wys = jnp.clip(wy, 0, grid.Ny)
+        wy_ok = (wy >= 0) & (wy <= grid.Ny)
+
+    # only cells within the floe's bounding circle need clipping
+    cell_x = grid.x0 + wx * grid.dx        # unshifted cell center x
+    cell_y = grid.y0 + wy * grid.dy
+    rcell = 0.5 * jnp.sqrt(grid.dx**2 + grid.dy**2)
+    near_x = jnp.abs(cell_x - floes.centroid[:, 0:1]) <= floes.rmax[:, None] + rcell
+    near_y = jnp.abs(cell_y - floes.centroid[:, 1:2]) <= floes.rmax[:, None] + rcell
+
+    pair_ok = (
+        floes.active[:, None, None]
+        & (wx_ok & near_x)[:, :, None]
+        & (wy_ok & near_y)[:, None, :]
+    )  # [N, cap, cap]
+
+    # cell polygon (line-centered, trimmed at non-periodic boundaries:
+    # center_cell_coords + check_cell_bounds, coupling.jl:931-1140)
+    def cell_rect(ix_u, iy_u):
+        # unshifted indices -> world rect, then trim
+        xmin = (ix_u - 0.5) * grid.dx + grid.x0
+        xmax = xmin + grid.dx
+        ymin = (iy_u - 0.5) * grid.dy + grid.y0
+        ymax = ymin + grid.dy
+        if not domain.ew_periodic:
+            xmin = jnp.clip(xmin, grid.x0, grid.xf)
+            xmax = jnp.clip(xmax, grid.x0, grid.xf)
+        if not domain.ns_periodic:
+            ymin = jnp.clip(ymin, grid.y0, grid.yf)
+            ymax = jnp.clip(ymax, grid.y0, grid.yf)
+        return xmin, xmax, ymin, ymax
+
+    V = floes.max_verts
+
+    # flatten pairs and clip floe against each cell rect via S-H (the cell is
+    # convex, so successive half-plane clipping is exact for area)
+    ix_u = jnp.broadcast_to(wx[:, :, None], (N, cell_cap, cell_cap))
+    iy_u = jnp.broadcast_to(wy[:, None, :], (N, cell_cap, cell_cap))
+    xmin, xmax, ymin, ymax = cell_rect(ix_u, iy_u)
+
+    # pool-level small-ring fast path (same trick as two_cross_dispatch):
+    # Voronoi floes carry ~6-12 vertices vs the 32-slot padding; run the
+    # edge sweep on the first-16 slice when every ring fits
+    if V > 16:
+        area_in_cell = jax.lax.cond(
+            jnp.max(jnp.where(floes.active, floes.nverts, 0)) <= 16,
+            lambda: _clip_area_to_rects(
+                floes.verts[:, :16], floes.nverts, xmin, xmax, ymin, ymax,
+                pair_ok,
+            ),
+            lambda: _clip_area_to_rects(
+                floes.verts, floes.nverts, xmin, xmax, ymin, ymax, pair_ok
+            ),
+        )
+    else:
+        area_in_cell = _clip_area_to_rects(
+            floes.verts, floes.nverts, xmin, xmax, ymin, ymax, pair_ok
+        )  # [N, cap, cap]
+
+    w_area = jnp.where(pair_ok & (area_in_cell > 0), area_in_cell, 0.0)
+    return wx, wy, wxs, wys, pair_ok, w_area
+
+
+def calc_eulerian_oa_coupling(
+    floes: FloeState,
+    grid: RegRectilinearGrid,
+    domain: Domain,
+    ocean: OceanState,
+    atmos: AtmosState,
+    consts: Constants,
+    cell_cap: int,
+):
+    """Eulerian (grid-cell) OA forcing - the working version of the
+    reference's dormant eulerian_OA_code.jl (floe_OA_forcings!, :121-179):
+    instead of sub-floe quadrature points, each floe integrates drag over
+    the grid cells it covers, weighted by the EXACT ice area in each cell.
+
+    Faithful to the reference's formulas: atmosphere drag uses the raw
+    atmosphere velocity (not relative to ice), ocean drag is relative with
+    the turning-angle rotation, pressure-gradient and Coriolis terms use
+    mass/area, torque arms run to the cell centers, and the floe heatflux
+    factor is the mean over covered cells.  Returns the floe pool with
+    fx_oa/fy_oa/trq_oa/hflx_factor filled in.
+    """
+    N = floes.capacity
+    dtype = floes.verts.dtype
+    cx0 = jnp.floor(
+        (floes.centroid[:, 0] - grid.x0) / grid.dx + 0.5
+    ).astype(jnp.int32)
+    cy0 = jnp.floor(
+        (floes.centroid[:, 1] - grid.y0) / grid.dy + 0.5
+    ).astype(jnp.int32)
+    half = cell_cap // 2
+    offs = jnp.arange(cell_cap) - half
+    wx, wy, wxs, wys, pair_ok, w_area = _floe_cell_areas(
+        floes, grid, domain, cell_cap, cx0, cy0, offs
+    )
+    covered = w_area > 0                                   # [N, cap, cap]
+
+    # field values at the (shifted) cell centers: flat 1-D gathers
+    NCy = grid.Ny + 1
+    flat = (wxs[:, :, None] * NCy + wys[:, None, :]).reshape(N, -1)
+
+    def at_cells(f):
+        return f.reshape(-1)[flat].reshape(N, cell_cap, cell_cap)
+
+    uo = at_cells(ocean.u)
+    vo = at_cells(ocean.v)
+    ua = at_cells(atmos.u)
+    va = at_cells(atmos.v)
+    hflx = at_cells(ocean.hflx_factor)
+
+    # torque arms to UNSHIFTED cell centers (periodic images stay on the
+    # floe's side of the seam)
+    lx = grid.x0 + wx[:, :, None] * grid.dx - floes.centroid[:, 0, None, None]
+    ly = grid.y0 + wy[:, None, :] * grid.dy - floes.centroid[:, 1, None, None]
+
+    # ice velocity at each cell center (rigid body)
+    uice = floes.u[:, None, None] - ly * floes.xi[:, None, None]
+    vice = floes.v[:, None, None] + lx * floes.xi[:, None, None]
+
+    ma_ratio = jnp.where(
+        floes.area > 0, floes.mass / jnp.where(floes.area > 0, floes.area, 1.0), 0.0
+    )[:, None, None]
+
+    # atmosphere drag (raw atmosphere velocity - eulerian_OA_code.jl:141-143)
+    na = jnp.sqrt(ua * ua + va * va)
+    fx = consts.rho_a * consts.Cd_ia * na * ua * w_area
+    fy = consts.rho_a * consts.Cd_ia * na * va * w_area
+
+    # pressure gradient (:146-147)
+    fx = fx - ma_ratio * consts.f * vo * w_area
+    fy = fy + ma_ratio * consts.f * uo * w_area
+
+    # ocean drag with turning angle (:150-155)
+    du = uo - uice
+    dv = vo - vice
+    nn = jnp.sqrt(du * du + dv * dv)
+    ct = jnp.cos(consts.turn_angle)
+    st = jnp.sin(consts.turn_angle)
+    tau_x = consts.rho_o * consts.Cd_io * nn * (ct * du - st * dv)
+    tau_y = consts.rho_o * consts.Cd_io * nn * (st * du + ct * dv)
+    fx = fx + tau_x * w_area
+    fy = fy + tau_y * w_area
+
+    # torque BEFORE Coriolis (:159-160; Coriolis acts at the centroid)
+    trq = lx * fy - ly * fx
+
+    # Coriolis (:163-164)
+    fx = fx + ma_ratio * consts.f * floes.v[:, None, None] * w_area
+    fy = fy - ma_ratio * consts.f * floes.u[:, None, None] * w_area
+
+    fx_oa = jnp.sum(jnp.where(covered, fx, 0.0), axis=(1, 2))
+    fy_oa = jnp.sum(jnp.where(covered, fy, 0.0), axis=(1, 2))
+    trq_oa = jnp.sum(jnp.where(covered, trq, 0.0), axis=(1, 2))
+    ncov = jnp.sum(covered.astype(dtype), axis=(1, 2))
+    hflx_floe = jnp.sum(jnp.where(covered, hflx, 0.0), axis=(1, 2)) / jnp.where(
+        ncov > 0, ncov, 1.0
+    )
+
+    act = floes.active
+    return floes._replace(
+        fx_oa=jnp.where(act, fx_oa, 0.0),
+        fy_oa=jnp.where(act, fy_oa, 0.0),
+        trq_oa=jnp.where(act, trq_oa, 0.0),
+        hflx_factor=jnp.where(act, hflx_floe, 0.0),
+    )
+
+
 def calc_two_way_coupling(
     one_way: OneWayResult,
     grid: RegRectilinearGrid,
@@ -288,80 +480,9 @@ def calc_two_way_coupling(
     ty_pair = sums[..., 1]
     np_pair = sums[..., 2]
     np_pair_safe = jnp.where(np_pair > 0, np_pair, 1.0)
-    wx = cx0[:, None] + offs[None, :]      # [N, cap]
-    wy = cy0[:, None] + offs[None, :]
-    # shift (periodic) or clamp-invalid (non-periodic)
-    if domain.ew_periodic:
-        wxs = jnp.mod(wx, grid.Nx)
-        wx_ok = jnp.ones_like(wx, bool)
-    else:
-        wxs = jnp.clip(wx, 0, grid.Nx)
-        wx_ok = (wx >= 0) & (wx <= grid.Nx)
-    if domain.ns_periodic:
-        wys = jnp.mod(wy, grid.Ny)
-        wy_ok = jnp.ones_like(wy, bool)
-    else:
-        wys = jnp.clip(wy, 0, grid.Ny)
-        wy_ok = (wy >= 0) & (wy <= grid.Ny)
-
-    # only cells within the floe's bounding circle need clipping
-    cell_x = grid.x0 + wx * grid.dx        # unshifted cell center x
-    cell_y = grid.y0 + wy * grid.dy
-    rcell = 0.5 * jnp.sqrt(grid.dx**2 + grid.dy**2)
-    near_x = jnp.abs(cell_x - floes.centroid[:, 0:1]) <= floes.rmax[:, None] + rcell
-    near_y = jnp.abs(cell_y - floes.centroid[:, 1:2]) <= floes.rmax[:, None] + rcell
-
-    pair_ok = (
-        floes.active[:, None, None]
-        & (wx_ok & near_x)[:, :, None]
-        & (wy_ok & near_y)[:, None, :]
-    )  # [N, cap, cap]
-
-    # cell polygon (line-centered, trimmed at non-periodic boundaries:
-    # center_cell_coords + check_cell_bounds, coupling.jl:931-1140)
-    def cell_rect(ix_u, iy_u):
-        # unshifted indices -> world rect, then trim
-        xmin = (ix_u - 0.5) * grid.dx + grid.x0
-        xmax = xmin + grid.dx
-        ymin = (iy_u - 0.5) * grid.dy + grid.y0
-        ymax = ymin + grid.dy
-        if not domain.ew_periodic:
-            xmin = jnp.clip(xmin, grid.x0, grid.xf)
-            xmax = jnp.clip(xmax, grid.x0, grid.xf)
-        if not domain.ns_periodic:
-            ymin = jnp.clip(ymin, grid.y0, grid.yf)
-            ymax = jnp.clip(ymax, grid.y0, grid.yf)
-        return xmin, xmax, ymin, ymax
-
-    V = floes.max_verts
-    dtype = floes.verts.dtype
-
-    # flatten pairs and clip floe against each cell rect via S-H (the cell is
-    # convex, so successive half-plane clipping is exact for area)
-    ix_u = jnp.broadcast_to(wx[:, :, None], (N, cell_cap, cell_cap))
-    iy_u = jnp.broadcast_to(wy[:, None, :], (N, cell_cap, cell_cap))
-    xmin, xmax, ymin, ymax = cell_rect(ix_u, iy_u)
-
-    # pool-level small-ring fast path (same trick as two_cross_dispatch):
-    # Voronoi floes carry ~6-12 vertices vs the 32-slot padding; run the
-    # edge sweep on the first-16 slice when every ring fits
-    if V > 16:
-        area_in_cell = jax.lax.cond(
-            jnp.max(jnp.where(floes.active, floes.nverts, 0)) <= 16,
-            lambda: _clip_area_to_rects(
-                floes.verts[:, :16], floes.nverts, xmin, xmax, ymin, ymax,
-                pair_ok,
-            ),
-            lambda: _clip_area_to_rects(
-                floes.verts, floes.nverts, xmin, xmax, ymin, ymax, pair_ok
-            ),
-        )
-    else:
-        area_in_cell = _clip_area_to_rects(
-            floes.verts, floes.nverts, xmin, xmax, ymin, ymax, pair_ok
-        )  # [N, cap, cap]
-
-    w_area = jnp.where(pair_ok & (area_in_cell > 0), area_in_cell, 0.0)
+    wx, wy, wxs, wys, pair_ok, w_area = _floe_cell_areas(
+        floes, grid, domain, cell_cap, cx0, cy0, offs
+    )
     # separable matmul scatter onto the grid: window columns/rows are
     # one-hot-matched per axis and contracted on the MXU.  Replaces a
     # [N*cap^2, 3] segment_sum whose serialized scatter rows cost 39.9 ms
@@ -524,6 +645,16 @@ def timestep_coupling(
     Returns (floes, ocean, overflow); overflow fires when two-way stress
     deposition was truncated by the cell_cap window (see
     calc_two_way_coupling)."""
+    if coupling_settings.eulerian:
+        # Eulerian OA mode (eulerian_OA_code.jl, dormant in the reference):
+        # grid-cell forcing instead of sub-floe quadrature points.  The
+        # point-based two-way deposition needs points, so two-way stays a
+        # point-path feature; the reference never wired eulerian two-way
+        # either.
+        floes = calc_eulerian_oa_coupling(
+            floes, grid, domain, ocean, atmos, consts, cell_cap
+        )
+        return floes, ocean, jnp.asarray(False)
     ow = calc_one_way_coupling(floes, grid, domain, ocean, atmos, consts)
     overflow = jnp.asarray(False)
     if coupling_settings.two_way_coupling_on:

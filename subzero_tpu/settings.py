@@ -104,6 +104,10 @@ class CouplingSettings:
     dt: int = 10
     dd: int = 1
     two_way_coupling_on: bool = False
+    # Eulerian (grid-cell) OA forcing instead of sub-floe quadrature points
+    # (the working version of the reference's dormant eulerian_OA_code.jl);
+    # one-way only - two-way deposition is a point-path feature
+    eulerian: bool = False
 
     def __post_init__(self):
         if self.coupling_on and self.dt < 0:

@@ -137,3 +137,94 @@ def test_moving_floe_non_uniform_ocean_atmos():
     assert fx == pytest.approx(-1.6300, abs=1e-3)
     assert fy == pytest.approx(1.1240, abs=1e-3)
     assert trq == pytest.approx(523.2361, abs=2e-1)
+
+
+class TestEulerianOA:
+    """Eulerian (grid-cell) OA forcing - the working version of the
+    reference's dormant eulerian_OA_code.jl (floe_OA_forcings!, :121-179)."""
+
+    def _square_floe(self, u=0.0, v=0.0):
+        sq = [[-1e4, -1e4], [1e4, -1e4], [1e4, 1e4], [-1e4, 1e4]]
+        return build_floes(
+            [sq], 0.25, 0.0, FSET, np.random.default_rng(0),
+            dtype=jnp.float64, N=2, u=u, v=v,
+        )
+
+    def test_uniform_ocean_drag_golden(self):
+        """Uniform ocean current, floe at rest: the exact-area cell sum
+        reduces to the closed-form drag + pressure-gradient expressions
+        (eulerian_OA_code.jl:146-155), and the clipped cell areas sum to
+        the floe area exactly."""
+        from subzero_tpu.physics.coupling import calc_eulerian_oa_coupling
+
+        consts = Constants()
+        u0 = 0.2
+        ocean = make_ocean(GRID, u=u0, v=0.0, temp=0.0, dtype=jnp.float64)
+        atmos = make_atmos(GRID, u=0.0, v=0.0, temp=-1.0, dtype=jnp.float64)
+        floes = self._square_floe()
+        out = calc_eulerian_oa_coupling(
+            floes, GRID, DOMAIN, ocean, atmos, consts, cell_cap=7
+        )
+        A = float(floes.area[0])
+        m = float(floes.mass[0])
+        tau = consts.rho_o * consts.Cd_io * u0 * u0
+        fx_exp = tau * np.cos(consts.turn_angle) * A
+        fy_exp = tau * np.sin(consts.turn_angle) * A + (m / A) * consts.f * u0 * A
+        np.testing.assert_allclose(float(out.fx_oa[0]), fx_exp, rtol=1e-9)
+        np.testing.assert_allclose(float(out.fy_oa[0]), fy_exp, rtol=1e-9)
+        # symmetric square in a uniform field: no torque
+        assert abs(float(out.trq_oa[0])) < 1e-6 * abs(fx_exp) * 1e4
+
+    def test_matches_point_coupling_uniform_fields(self):
+        """For uniform fields the Eulerian and point-quadrature forcings
+        integrate the same constant stress - they must agree closely."""
+        from subzero_tpu.physics.coupling import (
+            calc_eulerian_oa_coupling,
+            calc_one_way_coupling,
+        )
+
+        consts = Constants()
+        ocean = make_ocean(GRID, u=0.15, v=-0.1, temp=0.0, dtype=jnp.float64)
+        atmos = make_atmos(GRID, u=5.0, v=0.0, temp=-1.0, dtype=jnp.float64)
+        fs = FloeSettings(
+            min_floe_area=0.0,
+            subfloe_point_generator=SubGridPointsGenerator(2e3),
+        )
+        sq = [[-1e4, -1e4], [1e4, -1e4], [1e4, 1e4], [-1e4, 1e4]]
+        floes = build_floes(
+            [sq], 0.25, 0.0, fs, np.random.default_rng(0),
+            dtype=jnp.float64, N=2, u=0.05, v=0.02,
+        )
+        eu = calc_eulerian_oa_coupling(
+            floes, GRID, DOMAIN, ocean, atmos, consts, cell_cap=7
+        )
+        pt = calc_one_way_coupling(
+            floes, GRID, DOMAIN, ocean, atmos, consts
+        ).floes
+        # atmosphere drag differs by design (raw vs point-relative wind),
+        # but at |ua| >> |uice| both reduce to the same quadratic drag;
+        # rotation sampling differs (cells vs points) - few-percent match
+        np.testing.assert_allclose(
+            float(eu.fx_oa[0]), float(pt.fx_oa[0]), rtol=0.05
+        )
+        np.testing.assert_allclose(
+            float(eu.fy_oa[0]), float(pt.fy_oa[0]), rtol=0.05
+        )
+
+    def test_timestep_coupling_eulerian_mode(self):
+        """CouplingSettings(eulerian=True) routes timestep_coupling through
+        the grid-cell path and fills the floe OA fields."""
+        from subzero_tpu.physics.coupling import timestep_coupling
+        from subzero_tpu.settings import CouplingSettings
+
+        consts = Constants()
+        ocean = make_ocean(GRID, u=0.2, v=0.0, temp=0.0, dtype=jnp.float64)
+        atmos = make_atmos(GRID, u=0.0, v=0.0, temp=-1.0, dtype=jnp.float64)
+        floes = self._square_floe()
+        cps = CouplingSettings(eulerian=True)
+        out, ocean2, overflow = timestep_coupling(
+            floes, GRID, DOMAIN, ocean, atmos, consts, cps, FSET, 10.0,
+            cell_cap=7,
+        )
+        assert float(out.fx_oa[0]) > 0
+        assert not bool(overflow)
