@@ -12,6 +12,7 @@ member binned broad phase):
     N=8016  binned: 18.97 ms/step  1.48 M pairs/s   <- 1.45x faster
     N=15988 binned: 37.34 ms/step  1.50 M pairs/s   (best of repeated runs;
                                    tunnel jitter up to 1.6x run-to-run)
+    N=31954 binned: 87.89 ms/step  1.28 M pairs/s   (112694 pairs/step)
 
 The binned O(N*M) phase clearly wins at 8k (and the dense [N, N] mask's
 quadratic footprint only grows), so bins="auto" switches at
