@@ -1292,7 +1292,7 @@ def timestep_collisions(
     # slow_cap safety bound (pair_cap // 128 = 1500 rows at N = 16k).
     # Occupancy (tools/probe_slow_occupancy.py, shear-packed conc 0.8):
     # N = 8k: n_slow p50 = 5, p95 = 13; N = 16k: p50 = 92, p95 = 142.
-    tiers = sorted({min(t, slow_cap) for t in (16, 64, 256)} | {slow_cap})
+    tiers = sorted({min(t, slow_cap) for t in (8, 16, 64, 256)} | {slow_cap})
 
     def run_tiered(run):
         def rec(i):
