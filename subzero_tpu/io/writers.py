@@ -44,6 +44,29 @@ GRID_OUTPUTS = (
     "strain_vy_grid",
 )
 
+# units + comments metadata for the 18 gridded outputs, ported from the
+# reference's getattrs (output.jl:933-1000)
+GRID_ATTRS = {
+    "u_grid": ("m/s", "Average floe x-direction velocity in grid cell"),
+    "v_grid": ("m/s", "Average floe y-direction velocity in grid cell"),
+    "dudt_grid": ("m/s^2", "Average floe x-direction acceleration in grid cell"),
+    "dvdt_grid": ("m/s^2", "Average floe y-direction acceleration in grid cell"),
+    "overarea_grid": ("m", "Average overlap area of floe with other floes in grid cell"),
+    "mass_grid": ("kg", "Average mass of floes in grid cell"),
+    "area_grid": ("m^2", "Average area of floes in grid cell"),
+    "height_grid": ("m", "Average height of floes in grid cell"),
+    "si_frac_grid": ("unitless", "Fraction of grid cell covered by floes"),
+    "stress_xx_grid": ("N/m^2", "Average xx stress on floes in a given grid cell"),
+    "stress_yx_grid": ("N/m^2", "Average yx stress on floes in a given grid cell"),
+    "stress_xy_grid": ("N/m^2", "Average xy stress on floes in a given grid cell"),
+    "stress_yy_grid": ("N/m^2", "Average yy stress on floes in a given grid cell"),
+    "stress_eig_grid": ("N/m^2", "Maximum eigenvalue of the stress matricies [xx yx; xy yy]"),
+    "strain_ux_grid": ("unitless", "Average ux strain on floes in a grid cell"),
+    "strain_vx_grid": ("unitless", "Average vx strain on floes in a grid cell"),
+    "strain_uy_grid": ("unitless", "Average uy strain on floes in a grid cell"),
+    "strain_vy_grid": ("unitless", "Average vy strain on floes in a grid cell"),
+}
+
 
 @dataclasses.dataclass
 class InitialStateOutputWriter:
@@ -171,34 +194,82 @@ class CheckpointOutputWriter:
 
 @dataclasses.dataclass
 class GridOutputWriter:
-    """Re-grids floe data onto a coarse (nx, ny) Eulerian grid."""
+    """Re-grids floe data onto a coarse (nx, ny) Eulerian grid.
+
+    The file follows the netCDF4-over-HDF5 layout the reference's
+    GridOutputWriter produces with NCDatasets (output.jl:681-752): an
+    unlimited ``time`` dimension, ``x``/``y`` coordinate variables as HDF5
+    dimension scales, every output stored as a ``(time, x, y)`` variable with
+    scales attached (netCDF DIMENSION_LIST), and ``units``/``comments``
+    attributes from getattrs (output.jl:933-1000).  No netCDF library is
+    needed to write it, and xarray/ncdump can open the result (netCDF4 files
+    ARE HDF5 files with this structure).
+    """
 
     interval: int
     dims: tuple = (10, 10)
     dir: str = "."
-    filename: str = "gridded_data.h5"
+    filename: str = "gridded_data.nc"
     overwrite: bool = False
     outputs: Sequence[str] = GRID_OUTPUTS
+    dt: Optional[float] = None  # sim timestep (s); stamps the time units
 
     _file: Optional[h5py.File] = None
 
     def open(self, grid):
         os.makedirs(self.dir, exist_ok=True)
         mode = "w" if self.overwrite else "x"
-        self._file = h5py.File(os.path.join(self.dir, self.filename), mode)
+        f = h5py.File(os.path.join(self.dir, self.filename), mode)
+        self._file = f
+        # netCDF-c recognizes files carrying _NCProperties as netCDF4-native;
+        # readers fall back to HDF5-interop mode without it, so write it.
+        f.attrs["_NCProperties"] = np.bytes_(
+            b"version=2,netcdf=4.9.2,hdf5=1.12.2"
+        )
+        f.attrs["type"] = (
+            "Floe data averaged on the grid. The grid is broken down into "
+            "user provided dimensions."
+        )
         ny, nx = self.dims
         xs = np.linspace(grid.x0, grid.xf, nx + 1)
         ys = np.linspace(grid.y0, grid.yf, ny + 1)
-        self._file["x"] = 0.5 * (xs[:-1] + xs[1:])
-        self._file["y"] = 0.5 * (ys[:-1] + ys[1:])
+        t = f.create_dataset("time", shape=(0,), maxshape=(None,), dtype="f8")
+        t.make_scale("time")
+        t.attrs["units"] = (
+            "timesteps" if self.dt is None else f"{self.dt:g} seconds"
+        )
+        t.attrs["_Netcdf4Dimid"] = np.int32(0)
+        x = f.create_dataset("x", data=0.5 * (xs[:-1] + xs[1:]))
+        x.make_scale("x")
+        x.attrs["units"] = "meters"
+        x.attrs["_Netcdf4Dimid"] = np.int32(1)
+        y = f.create_dataset("y", data=0.5 * (ys[:-1] + ys[1:]))
+        y.make_scale("y")
+        y.attrs["units"] = "meters"
+        y.attrs["_Netcdf4Dimid"] = np.int32(2)
+        for name in self.outputs:
+            v = f.create_dataset(
+                name, shape=(0, nx, ny), maxshape=(None, nx, ny), dtype="f8"
+            )
+            v.dims[0].attach_scale(t)
+            v.dims[1].attach_scale(x)
+            v.dims[2].attach_scale(y)
+            unit, comment = GRID_ATTRS.get(name, ("", ""))
+            v.attrs["units"] = unit
+            v.attrs["comments"] = comment
 
     def write(self, tstep, floes, ocean, grid):
         if self._file is None:
             self.open(grid)
         data = eulerian_data(floes, ocean, grid, self.dims, self.outputs)
-        g = self._file.create_group(str(tstep))
+        t = self._file["time"]
+        i = t.shape[0]
+        t.resize((i + 1,))
+        t[i] = float(tstep)
         for k, v in data.items():
-            g.create_dataset(k, data=v)
+            d = self._file[k]
+            d.resize((i + 1,) + d.shape[1:])
+            d[i] = v
 
     def close(self):
         if self._file is not None:
@@ -281,6 +352,8 @@ class OutputWriters:
                 )
             self.floes.write(tstep, floes, interactions=inters)
         if self.grid is not None and tstep % self.grid.interval == 0:
+            if self.grid.dt is None:
+                self.grid.dt = float(sim.dt)
             self.grid.write(tstep, floes, ocean, sim.model.grid)
         if (
             self.checkpoint is not None

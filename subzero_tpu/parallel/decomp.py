@@ -107,6 +107,10 @@ def make_decomp(
     slab_w = (e - w) / D
     if margin is None:
         margin = float(2.2 * rmax.max()) if rmax.size else slab_w / 4
+        # tiny pools / many devices: the production margin can exceed the
+        # slab; clamp (the halo then covers the whole neighbor slab - more
+        # traffic, still correct) so defaults work at any pool size
+        margin = min(margin, float(slab_w))
     if margin > slab_w:
         raise ValueError(
             f"halo margin {margin:.3g} exceeds slab width {slab_w:.3g}; "
@@ -596,30 +600,45 @@ def build_decomp_step_halves(sim, dec, row_cap=None):
     return jax.jit(collide), jax.jit(finish)
 
 
-def build_decomp_segment(sim, dec, row_cap=None):
+def build_decomp_segment(sim, dec, row_cap=None, collect=None, seg_cap=None):
     """Device-resident multi-step segment runner for the distributed path:
 
       seg(floes_d, ocean, domain, t0, t_stop)
-          -> (floes_d, ocean, domain, t_reached, n_overflow, fuse)
+          -> (floes_d, ocean, domain, t_reached, n_overflow, fuse[, buf])
 
     Advances whole steps inside ONE jitted lax.while_loop (inside the
     shard_map, so halo/migration ppermutes and grid psums run every
     iteration with no host round-trip) until t_stop, exiting early when
     collisions mark a fuse pair - the same segment discipline as the
     single-device run() (simulation.py run_segment), which run_decomp
-    previously lacked (it paid a host sync per step)."""
+    previously lacked (it paid a host sync per step).
+
+    ``collect(floes_local, ocean)`` maps the post-step LOCAL pool to
+    per-step outputs that are psum-reduced across the mesh, so it must
+    return quantities additive over floes (sums of KE, momentum, mass, ...
+    over active local rows - the persistent local pools hold only owned
+    floes, so the psum is exact).  Rows [0, seg_cap) of the returned
+    ``buf`` hold steps t0..t_reached-1."""
     collide_local, finish_local, axes = _dec_parts(sim, dec, row_cap)
     local_step = _compose_parts(collide_local, finish_local)
     check_fuse = sim.collision_settings.collisions_on
     spec = _dec_specs(dec)
 
     def seg_local(floes, ocean, domain, t0, t_stop):
+        if collect is not None:
+            proto = jax.eval_shape(collect, floes, ocean)
+            buf0 = jax.tree.map(
+                lambda s: jnp.zeros((seg_cap,) + s.shape, s.dtype), proto
+            )
+        else:
+            buf0 = ()
+
         def cond_fn(c):
             t, fuse = c[3], c[5]
             return (t < t_stop) & ~fuse
 
         def body_fn(c):
-            fl, oc, dm, t, nov, _ = c
+            fl, oc, dm, t, nov, _, buf = c
             fl, oc, dm, ov = local_step(fl, oc, dm, t)
             if check_fuse:
                 fuse = jax.lax.psum(
@@ -627,19 +646,29 @@ def build_decomp_segment(sim, dec, row_cap=None):
                 ) > 0
             else:
                 fuse = jnp.asarray(False)
-            return (fl, oc, dm, t + 1, nov + ov.astype(jnp.int32), fuse)
+            if collect is not None:
+                out = jax.tree.map(
+                    lambda o: jax.lax.psum(o, axes), collect(fl, oc)
+                )
+                buf = jax.tree.map(
+                    lambda b, o: jax.lax.dynamic_update_index_in_dim(
+                        b, o.astype(b.dtype), t - t0, 0
+                    ),
+                    buf, out,
+                )
+            return (fl, oc, dm, t + 1, nov + ov.astype(jnp.int32), fuse, buf)
 
         return jax.lax.while_loop(
             cond_fn, body_fn,
             (floes, ocean, domain, t0,
-             jnp.zeros((), jnp.int32), jnp.asarray(False)),
+             jnp.zeros((), jnp.int32), jnp.asarray(False), buf0),
         )
 
     fn = jax.shard_map(
         seg_local,
         mesh=dec.mesh,
         in_specs=(spec, P(), P(), P(), P()),
-        out_specs=(spec, P(), P(), P(), P(), P()),
+        out_specs=(spec, P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -682,7 +711,7 @@ class _NullLogger:
         pass
 
 
-def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
+def run_decomp(sim, dec, start_tstep: int = 0, callback=None, collect=None):
     """run! over a 1-D (``Decomp``) or 2-D (``Decomp2D``) domain
     decomposition (the distributed analog of simulation.run, mirroring
     timestep_sim!'s process order,
@@ -702,6 +731,12 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
     of the distributed step (simulation.jl:108-135).  Writers fire on
     gathered state at their intervals.  Overflow (halo/migration/pair
     capacity) is reported exactly like the single-device driver.
+
+    ``collect(floes_local, ocean)`` accumulates per-step diagnostics
+    device-side at segment speed; outputs must be additive over floes
+    (they are psum-reduced across the mesh - see build_decomp_segment).
+    When given, returns ``(sim, collected)`` with entries stacked over
+    steps.
 
     Returns ``sim`` with its model holding the final gathered pool.
     """
@@ -729,9 +764,24 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
             if kind == "step":
                 programs[kind] = _dec_build(sim, dec, row_cap)
             elif kind == "seg":
-                programs[kind] = build_decomp_segment(sim, dec, row_cap)
+                programs[kind] = build_decomp_segment(
+                    sim, dec, row_cap, collect=collect, seg_cap=seg_cap
+                )
             elif kind == "halves":
                 programs[kind] = build_decomp_step_halves(sim, dec, row_cap)
+            elif kind == "collect":
+                spec = _dec_specs(dec)
+                axes = spec[0]
+
+                def _collect_local(fl, oc):
+                    return jax.tree.map(
+                        lambda o: jax.lax.psum(o, axes), collect(fl, oc)
+                    )
+
+                programs[kind] = jax.jit(jax.shard_map(
+                    _collect_local, mesh=dec.mesh,
+                    in_specs=(spec, P()), out_specs=P(), check_vma=False,
+                ))
         return programs[kind]
 
     domain = sim.model.domain
@@ -886,6 +936,13 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
         ):
             post_cads.append(sim.simp_settings.dt_smooth)
 
+    # collect buffer capacity = longest possible segment (static shape)
+    seg_cap = sim.n_dt + 1
+    for c in pre_cads + post_cads:
+        seg_cap = min(seg_cap, c)
+    seg_cap = max(1, min(seg_cap, 2048))
+    collected = []
+
     def _next_on(t, c, skip_zero):
         s = ((t + c - 1) // c) * c
         return c if (skip_zero and s == 0) else s
@@ -894,14 +951,14 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
     tstep = start_tstep
     while tstep <= end_tstep:
         if use_segments:
-            t_stop = end_tstep + 1
+            t_stop = min(end_tstep + 1, tstep + seg_cap)
             for c in pre_cads:
                 t_stop = min(t_stop, _next_on(tstep, c, skip_zero=False))
             for c in post_cads:
                 t_stop = min(t_stop, _next_on(tstep, c, skip_zero=True))
             if t_stop > tstep:
                 seg = get_program("seg")
-                floes_d, ocean, domain, t_dev, nov, fuse = seg(
+                floes_d, ocean, domain, t_dev, nov, fuse, buf = seg(
                     floes_d, ocean, domain,
                     jnp.asarray(tstep, jnp.int32),
                     jnp.asarray(t_stop, jnp.int32),
@@ -909,6 +966,8 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
                 nov = int(nov)
                 seg_len = int(t_dev) - tstep
                 tstep = int(t_dev)
+                if collect is not None and seg_len > 0:
+                    collected.append(jax.tree.map(lambda a: a[:seg_len], buf))
                 if nov:
                     n_overflow += nov
                     logger.warn(
@@ -957,7 +1016,12 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
                 floes_d, ocean, domain, jnp.asarray(tstep)
             )
             g = gather(floes_d)
-            si = jnp.asarray(np.asarray(si_d))
+            # si_d is sharded like floes_d; on a multi-process run its
+            # shards span non-addressable devices, so replicate before the
+            # host copy (same route gather() takes).
+            from .multihost import replicate_to_host
+
+            si = jnp.asarray(replicate_to_host(si_d))
             host_sim.pair_cap = row_cap * g.capacity
             g = _host_ridge_raft(
                 host_sim, g, domain, tstep, rng, state, logger
@@ -972,6 +1036,13 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
             step = get_program("step")
             floes_d, ocean, domain, overflow = step(
                 floes_d, ocean, domain, jnp.asarray(tstep)
+            )
+        if collect is not None:
+            collected.append(
+                jax.tree.map(
+                    lambda a: a[None],
+                    get_program("collect")(floes_d, ocean),
+                )
             )
         if bool(overflow):
             n_overflow += 1
@@ -1006,6 +1077,17 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None):
     sim.model = sim.model.replace(
         floes=gather(floes_d), ocean=ocean, domain=domain
     )
+    if collect is not None:
+        out = (
+            jax.tree.map(
+                lambda *xs: jnp.concatenate(
+                    [jnp.asarray(x) for x in xs], axis=0
+                ),
+                *collected,
+            )
+            if collected else None
+        )
+        return sim, out
     return sim
 
 
@@ -1105,6 +1187,8 @@ def make_decomp_2d(
     slab_y = (n - s) / Dy
     if margin is None:
         margin = float(2.2 * rmax.max()) if rmax.size else min(slab_x, slab_y) / 4
+        # clamp the default so tiny pools work on any mesh (see make_decomp)
+        margin = min(margin, float(min(slab_x, slab_y)))
     if margin > min(slab_x, slab_y):
         raise ValueError(
             f"halo margin {margin:.3g} exceeds slab size "

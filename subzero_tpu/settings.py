@@ -116,6 +116,16 @@ class CouplingSettings:
         if self.dd < 0:
             warnings.warn("coupling dd must be non-negative; resetting to 1")
             object.__setattr__(self, "dd", 1)
+        if self.eulerian and self.two_way_coupling_on:
+            # eulerian mode is one-way only (the reference's
+            # eulerian_OA_code.jl never wired two-way either); silently
+            # skipping two-way would also desync collectives in the decomp
+            # step's lax.cond branches.
+            warnings.warn(
+                "eulerian coupling is one-way only; disabling "
+                "two_way_coupling_on"
+            )
+            object.__setattr__(self, "two_way_coupling_on", False)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -383,12 +383,18 @@ def _host_lifecycle_passes(
     return floes
 
 
-def run(sim: Simulation, start_tstep: int = 0, callback=None):
+def run(sim: Simulation, start_tstep: int = 0, callback=None, collect=None):
     """run! (simulation.jl:287-297): step the simulation n_dt times.
 
     ``callback(tstep, floes, ocean, domain)`` is invoked before each step
     (mirroring write_data!'s position in timestep_sim!, simulation.jl:105);
-    used by output writers.
+    used by output writers.  NOTE: a callback forces one host sync per step
+    (segments are disabled) - for per-step diagnostics use ``collect``.
+
+    ``collect(floes, ocean)`` maps the post-step state to small per-step
+    outputs that are accumulated DEVICE-SIDE inside the jitted segments (no
+    per-step host sync) and returned stacked over steps, like
+    ``run_scan``'s.  When given, ``run`` returns ``(sim, collected)``.
     """
     from .io.logger import SimulationLogger
 
@@ -409,6 +415,7 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
     domain = sim.model.domain
     tstep = start_tstep
     n_overflow = 0
+    collected = []
     rng = np.random.default_rng(sim.seed)
     if sim.rng_state is not None:
         rng.bit_generator.state = sim.rng_state
@@ -454,24 +461,46 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
         ):
             post_cads.append(sim.simp_settings.dt_smooth)
 
+        # collect buffer capacity = longest possible segment (static shape)
+        seg_cap = sim.n_dt + 1
+        for c in pre_cads + post_cads:
+            seg_cap = min(seg_cap, c)
+        seg_cap = max(1, min(seg_cap, 2048))
+
         @jax.jit
         def run_segment(floes, ocean, domain, t0, t_stop):
+            if collect is not None:
+                proto = jax.eval_shape(collect, floes, ocean)
+                buf0 = jax.tree.map(
+                    lambda s: jnp.zeros((seg_cap,) + s.shape, s.dtype), proto
+                )
+            else:
+                buf0 = ()
+
             def cond_fn(c):
-                _, _, _, t, _, fuse = c
+                _, _, _, t, _, fuse, _ = c
                 return (t < t_stop) & ~fuse
 
             def body_fn(c):
-                fl, oc, dm, t, nov, _ = c
+                fl, oc, dm, t, nov, _, buf = c
                 fl, dm, si, ov1 = collide(fl, oc, dm, t)
                 fl, oc, dm, ov2 = finish(fl, oc, dm, si, t)
                 fuse = jnp.any(fl.fuse_with >= 0)
                 nov = nov + (ov1 | ov2).astype(jnp.int32)
-                return (fl, oc, dm, t + 1, nov, fuse)
+                if collect is not None:
+                    out = collect(fl, oc)
+                    buf = jax.tree.map(
+                        lambda b, o: jax.lax.dynamic_update_index_in_dim(
+                            b, o.astype(b.dtype), t - t0, 0
+                        ),
+                        buf, out,
+                    )
+                return (fl, oc, dm, t + 1, nov, fuse, buf)
 
             return jax.lax.while_loop(
                 cond_fn, body_fn,
                 (floes, ocean, domain, t0,
-                 jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+                 jnp.zeros((), jnp.int32), jnp.zeros((), bool), buf0),
             )
 
     def _next_on(t, c, skip_zero):
@@ -487,13 +516,13 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
             # the step runs; post events (lifecycle cadences) need their
             # host pass right after it, which the single-step path below
             # provides
-            t_stop = end_tstep + 1
+            t_stop = min(end_tstep + 1, tstep + seg_cap)
             for c in pre_cads:
                 t_stop = min(t_stop, _next_on(tstep, c, skip_zero=False))
             for c in post_cads:
                 t_stop = min(t_stop, _next_on(tstep, c, skip_zero=True))
             if t_stop > tstep:
-                fl, oc, dm, t_dev, nov, fuse = run_segment(
+                fl, oc, dm, t_dev, nov, fuse, buf = run_segment(
                     floes, ocean, domain,
                     jnp.asarray(tstep, jnp.int32),
                     jnp.asarray(t_stop, jnp.int32),
@@ -502,6 +531,10 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
                 nov = int(nov)
                 seg_len = int(t_dev) - tstep
                 tstep = int(t_dev)
+                if collect is not None and seg_len > 0:
+                    collected.append(
+                        jax.tree.map(lambda a: a[:seg_len], buf)
+                    )
                 if nov:
                     n_overflow += nov
                     logger.warn(
@@ -546,6 +579,12 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
             floes, ocean, domain, overflow = step(
                 floes, ocean, domain, jnp.asarray(tstep)
             )
+        if collect is not None:
+            collected.append(
+                jax.tree.map(
+                    lambda a: a[None], collect(floes, ocean)
+                )
+            )
         if bool(overflow):
             n_overflow += 1
             logger.warn(
@@ -571,4 +610,10 @@ def run(sim: Simulation, start_tstep: int = 0, callback=None):
         sim.writers.close()
     logger.close()
     sim.model = sim.model.replace(floes=floes, ocean=ocean, domain=domain)
+    if collect is not None:
+        out = (
+            jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *collected)
+            if collected else None
+        )
+        return sim, out
     return sim

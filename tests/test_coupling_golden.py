@@ -228,3 +228,18 @@ class TestEulerianOA:
         )
         assert float(out.fx_oa[0]) > 0
         assert not bool(overflow)
+
+
+def test_eulerian_rejects_two_way():
+    """CouplingSettings(eulerian=True, two_way_coupling_on=True) must not
+    silently desync: eulerian is one-way only (the decomp step's lax.cond
+    branches would otherwise emit mismatched collectives)."""
+    import warnings as _w
+
+    from subzero_tpu.settings import CouplingSettings
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        cs = CouplingSettings(eulerian=True, two_way_coupling_on=True)
+    assert cs.two_way_coupling_on is False
+    assert any("one-way" in str(r.message) for r in rec)

@@ -77,11 +77,11 @@ def test_writers_roundtrip(sim):
         keys = sorted(int(k) for k in f.keys())
         assert keys == [0, 10, 20, 30, 40, 50]
         assert "u" in f["10"] and "verts" in f["10"]
-    # grid data
-    with h5py.File(tmp / "gridded_data.h5", "r") as f:
-        assert f["0/si_frac_grid"].shape == (5, 5)
-        assert "u_grid" in f["20"]
-        si = f["0/si_frac_grid"][()]
+    # grid data: netCDF4-convention layout (unlimited time dim + scales)
+    with h5py.File(tmp / "gridded_data.nc", "r") as f:
+        assert list(f["time"][()]) == [0.0, 20.0, 40.0]
+        assert f["si_frac_grid"].shape == (3, 5, 5)
+        si = f["si_frac_grid"][0]
         assert 0.1 < si.sum() / 25 < 0.6  # roughly the 0.3 concentration
     # checkpoint + restart
     sim2, last = restart(
@@ -224,3 +224,57 @@ def test_analyze_floe_timeseries(sim):
     assert np.all(d["mass"] > 0)
     pngs = plot_floe_analysis(path, fid, str(tmp_path / "analysis"))
     assert len(pngs) == 5 and all(os.path.exists(p) for p in pngs)
+
+
+def test_grid_output_netcdf_conventions(tmp_path):
+    """GridOutputWriter emits netCDF4-over-HDF5 (output.jl:681-752): an
+    unlimited time dimension, x/y coordinate variables as HDF5 dimension
+    scales attached to every variable (DIMENSION_LIST), and units/comments
+    attributes ported from getattrs (output.jl:933-1000) - so xarray/ncdump
+    can open the file without this package."""
+    from subzero_tpu.core import BoundaryKind as BK
+    from subzero_tpu.core.floes import build_floes
+    from subzero_tpu.io.writers import GRID_ATTRS, GRID_OUTPUTS
+
+    grid = make_grid(0.0, 1e5, 0.0, 1e5, Nx=10, Ny=10)
+    domain = make_domain(grid, *([BK.OPEN] * 4), dtype=jnp.float64)
+    from subzero_tpu.settings import FloeSettings as FS, SubGridPointsGenerator
+
+    fs = FS(min_floe_area=0.0,
+            subfloe_point_generator=SubGridPointsGenerator(1e9))
+    sq = [[2e4, 2e4], [6e4, 2e4], [6e4, 6e4], [2e4, 6e4]]
+    floes = build_floes([sq], 0.5, 0.0, fs, N=4, dtype=jnp.float64)
+    ocean = make_ocean(grid, u=0.0, v=0.0, temp=0.0, dtype=jnp.float64)
+
+    w = GridOutputWriter(10, dims=(4, 4), dir=str(tmp_path), overwrite=True,
+                         dt=10.0)
+    w.write(0, floes, ocean, grid)
+    w.write(10, floes, ocean, grid)
+    w.close()
+
+    with h5py.File(tmp_path / "gridded_data.nc", "r") as f:
+        # netCDF4 signature + the reference's file-level attribute
+        assert f.attrs["_NCProperties"].startswith(b"version=2")
+        assert "type" in f.attrs
+        # dimension scales
+        for dim in ("time", "x", "y"):
+            assert f[dim].attrs["CLASS"] == b"DIMENSION_SCALE"
+        assert f["time"].maxshape == (None,)
+        assert list(f["time"][()]) == [0.0, 10.0]
+        assert f["time"].attrs["units"] == "10 seconds"
+        assert f["x"].attrs["units"] == "meters"
+        # all 18 variables: (time, x, y) layout + attached scales + metadata
+        assert set(GRID_OUTPUTS) == set(GRID_ATTRS)
+        for name in GRID_OUTPUTS:
+            v = f[name]
+            assert v.shape == (2, 4, 4)
+            assert "DIMENSION_LIST" in v.attrs
+            assert v.dims[0][0] == f["time"]
+            assert v.dims[1][0] == f["x"]
+            assert v.dims[2][0] == f["y"]
+            unit, comment = GRID_ATTRS[name]
+            assert v.attrs["units"] == unit
+            assert v.attrs["comments"] == comment
+        # the lone floe covers 1.6e9 m^2 of the 1e10 m^2 domain
+        si_total = f["si_frac_grid"][0].sum() / 16
+        assert abs(si_total - 0.16) < 0.01

@@ -559,3 +559,40 @@ def test_run_decomp_2d_end_to_end():
     mass1 = float(np.asarray(out.mass)[act].sum())
     assert mass1 <= mass0 * (1 + 1e-9)
     np.testing.assert_allclose(mass1, mass0, rtol=1e-3)
+
+
+def test_run_decomp_collect_conservation_series():
+    """run_decomp(collect=...) accumulates additive per-step diagnostics
+    device-side inside the distributed segments (psum across the mesh) and
+    must match the single-device run(collect=...) series."""
+    from subzero_tpu.simulation import run
+
+    def collect(floes, ocean):
+        m = jnp.where(floes.active, floes.mass, 0.0)
+        return {
+            "ke": jnp.sum(0.5 * m * (floes.u**2 + floes.v**2)),
+            "px": jnp.sum(m * floes.u),
+            "mass": jnp.sum(m),
+        }
+
+    sim1 = make_wide_sim(
+        coupling_settings=CouplingSettings(two_way_coupling_on=False)
+    )
+    sim1.pair_cap = 32 * sim1.model.floes.capacity
+    sim1.n_dt = 5
+    sim1, want = run(sim1, collect=collect)
+
+    sim2 = make_wide_sim(
+        coupling_settings=CouplingSettings(two_way_coupling_on=False)
+    )
+    sim2.pair_cap = 32 * sim2.model.floes.capacity
+    sim2.n_dt = 5
+    dec = make_decomp(sim2.model.floes, sim2.model.domain, n_devices=4)
+    sim2, got = run_decomp(sim2, dec, collect=collect)
+
+    assert got["ke"].shape == want["ke"].shape == (6,)
+    for k in ("ke", "px", "mass"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-6,
+            err_msg=k,
+        )

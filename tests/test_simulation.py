@@ -132,3 +132,47 @@ def test_open_boundary_removal_in_run():
     )
     sim = run(sim)
     assert int(sim.model.floes.count()) == 0
+
+
+def test_run_collect_matches_run_scan():
+    """run(collect=...) accumulates per-step diagnostics device-side inside
+    segments and must match run_scan's collect output exactly (same step
+    function, same post-step collection point)."""
+    from subzero_tpu.simulation import run_scan
+
+    def build():
+        sq1 = [[3e4, 4e4], [4e4, 4e4], [4e4, 5e4], [3e4, 5e4]]
+        sq2 = [[5e4, 4e4], [6e4, 4e4], [6e4, 5e4], [5e4, 5e4]]
+        floes = build_floes(
+            [sq1, sq2], 0.25, 0.0, FSET, np.random.default_rng(0),
+            dtype=jnp.float64, N=4,
+        )
+        floes = floes._replace(u=jnp.asarray([0.1, -0.1, 0.0, 0.0]))
+        ocean = make_ocean(GRID, u=0.0, v=0.0, temp=0.0, dtype=jnp.float64)
+        atmos = make_atmos(GRID, temp=-1.0, dtype=jnp.float64)
+        domain = make_domain(GRID, *([BoundaryKind.OPEN] * 4), dtype=jnp.float64)
+        model = make_model(GRID, ocean, atmos, domain, floes)
+        return Simulation(
+            model=model, consts=Constants(E=1e6), dt=10, n_dt=12,
+            floe_settings=FSET,
+            coupling_settings=CouplingSettings(coupling_on=False),
+        )
+
+    def collect(floes, ocean):
+        m = jnp.where(floes.active, floes.mass, 0.0)
+        return {
+            "ke": jnp.sum(0.5 * m * (floes.u**2 + floes.v**2)),
+            "px": jnp.sum(m * floes.u),
+            "mass": jnp.sum(m),
+        }
+
+    sim = build()
+    sim, got = run(sim, collect=collect)
+    _, want = run_scan(build(), 13, start_tstep=0, collect=collect)
+    assert got["ke"].shape == (13,)
+    for k in ("ke", "px", "mass"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-12
+        )
+    # the two colliding floes exchange momentum but conserve it
+    np.testing.assert_allclose(got["px"][-1], got["px"][0], rtol=1e-6)
