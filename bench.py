@@ -94,12 +94,13 @@ def build_sim(n_floes, L, dx, seed=1, two_way=True, bins=False,
     )
     if bins:
         sim.bins = _auto_bins(model)
-        # dense contact graphs at this concentration need more per-floe
-        # candidate rows than the 8N default (measured max degree 11,
-        # p99 8 at conc 0.8 with balanced ownership); every narrow-phase
-        # gather pays per padded row, so keep the cap tight - overflow
-        # surfaces if a config exceeds it
-        sim.pair_cap = 12 * model.floes.capacity
+        # per-floe candidate rows: mean contact degree at conc 0.8 is ~3.5
+        # (p99 8, max 11 with balanced ownership), and the _rank_select_rows
+        # spill list absorbs the rare deep rows - so row_cap 8 suffices and
+        # every narrow-phase pass pays per PADDED row (tools/ab_rowcap.py,
+        # TPU v5e N=16k: 12N 26.0 ms -> 8N 20.2 ms, zero overflow; 6N is
+        # not faster).  Overflow surfaces if a config exceeds the budget.
+        sim.pair_cap = 8 * model.floes.capacity
     return sim
 
 
@@ -162,6 +163,8 @@ def main():
         "many_floes_8000": dict(n=8000, L=4e5, bins=True, n_steps=50),
         # 32x the floes at the same density (sorted-member binned phase)
         "many_floes_16000": dict(n=16000, L=5.66e5, bins=True, n_steps=20),
+        # 64x: the scale point where the binned path must hold >= 1.5 M
+        "many_floes_32000": dict(n=32000, L=8e5, bins=True, n_steps=10),
     }
     detail = {"device": str(jax.devices()[0])}
     best_name, best = None, None

@@ -314,6 +314,26 @@ def criteria_polygon(criteria, heights):
     raise NotImplementedError(type(criteria))
 
 
+def _points_in_ring(pts, ring):
+    """Vectorized even-odd ray cast: [K, 2] points vs one ring.  Same
+    semantics as host_clip._point_in (exclusive of the edge), batched -
+    the per-floe Python loop dominated a fracture pass at N >= 2k."""
+    pts = np.asarray(pts, float)
+    ring = np.asarray(ring, float)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    x = pts[:, 0][:, None]
+    y = pts[:, 1][:, None]
+    straddle = (y1[None, :] > y) != (y2[None, :] > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = x1[None, :] + (y - y1[None, :]) / (y2 - y1)[None, :] * (
+            x2 - x1
+        )[None, :]
+    hits = straddle & (x < xin)
+    return np.sum(hits, axis=1) % 2 == 1
+
+
 def determine_fractures(hf: HostFloes, criteria, fs: FloeSettings):
     """fractures.jl:269-288: floes whose accumulated-stress eigenvalues fall
     outside the criteria polygon (and that are big enough)."""
@@ -327,17 +347,16 @@ def determine_fractures(hf: HostFloes, criteria, fs: FloeSettings):
     # stress_calculators.jl:127-132): sigma_vals *= (area/min_area)^alpha;
     # equivalent to scaling the fracture criteria, cheaper to apply here
     alpha = getattr(fs.stress_calculator, "alpha", 0.0)
-    out = []
-    for i in idxs:
-        s = f["stress_accum"][i]
-        evals = np.linalg.eigvalsh(np.asarray(s, float))
-        if f["area"][i] < fs.min_floe_area:
-            continue
-        if alpha != 0.0:
-            evals = evals * (f["area"][i] / fs.min_floe_area) ** alpha
-        if not host_clip._point_in((evals[0], evals[1]), poly):
-            out.append(int(i))
-    return out
+    big = np.asarray(f["area"])[idxs] >= fs.min_floe_area
+    evals = np.linalg.eigvalsh(
+        np.asarray(f["stress_accum"], float)[idxs]
+    )  # [K, 2] ascending
+    if alpha != 0.0:
+        evals = evals * (
+            (np.asarray(f["area"], float)[idxs] / fs.min_floe_area) ** alpha
+        )[:, None]
+    inside = _points_in_ring(evals, poly)
+    return [int(i) for i in idxs[big & ~inside]]
 
 
 def split_floe(hf: HostFloes, i, rng, frac_settings, fs: FloeSettings, dt):

@@ -9,28 +9,23 @@ against the device-step budget at the pass's cadence, i.e. the pass is
 Pure CPU - run with:
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/lifecycle_walltime.py
 
-Measured 2026-08-21 (round 4), 2-vCPU host, N = 8016 f32 pool:
+Measured 2026-08-21 (round 5), 2-vCPU host, N = 8016 f32 pool:
 
     pass                              wall     trigger            cadence  budget*
     timestep_welding (one bin pass,
-      25x25 supergrid, conc 0.8)     0.94 s   full pool binned     150     2.8 s
+      25x25 supergrid, conc 0.8)     0.60 s   full pool binned     150     2.8 s
     smooth_floes (scan, 0 over cap)  0.00 s   vertex-cap scan       20     0.37 s
-    fracture_floes (Voronoi splits)  3.11 s   400 marked (5%)       75     1.4 s
-    fuse_floes                       0.13 s   100 marked pairs    (event)
+    fracture_floes (Voronoi splits)  0.50 s   400 marked (5%)       75     1.4 s
+    fuse_floes                       0.11 s   100 marked pairs    (event)
 
     *budget = cadence x 18.6 ms (the N=8016 TPU device step, BENCH r4).
 
-Welding's pair enumeration (the batched native per-bin area precompute) is
-comfortably sub-dominant at its cadence (0.94 s vs a 2.8 s budget).  The
-smoothing scan itself is free; its cost is per-TRIGGERED floe (~5 ms for
-replace_floe + momentum bookkeeping + the batched neighbor rescan), and
-triggers only arise from fuse/weld growth - a handful per cadence.
-Fracture is the one pass that can dominate: ~7.8 ms per fractured floe
-(host Voronoi split), so a 5%-of-pool fracture storm costs 2.2x its
-75-step budget, while the realistic <=1% marked fraction stays under half
-the budget.  If fracture storms become the norm at larger N, the Voronoi
-split is the piece to move to the device (fixed-template splits) or to
-C++ (native/).
+Every pass is sub-dominant at its cadence, including a 5%-of-pool
+fracture storm (round 4 measured 3.11 s for it - the cost was NOT the
+Voronoi split but determine_fractures' per-floe pure-Python
+point-in-criteria-polygon test, now one vectorized eigvalsh + ray-cast
+over the whole pool).  The split itself is ~0.7 ms per fractured floe
+(native clip); add_floe/replace_floe bookkeeping is ~1.2 ms per piece.
 """
 
 import os
