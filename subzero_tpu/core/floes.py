@@ -237,6 +237,27 @@ def generate_subgrid_points(ring, dg):
     return np.asarray(xs), np.asarray(ys)
 
 
+def subfloe_points_for_ring(body, area, gen, rng):
+    """Sub-floe quadrature points for one ring (centroid at origin),
+    dispatching on the generator and applying SubGridPointsGenerator's
+    optional ``max_points`` cap: oversized floes keep a deterministic
+    proportional subsample of the natural point set (see settings.py for
+    why thinning, not lattice coarsening).
+
+    Returns (x, y) arrays, or (None, None) when generation failed (the
+    caller should mark the floe remove, coupling.jl:1507-1508)."""
+    if isinstance(gen, SubGridPointsGenerator):
+        mx, my = generate_subgrid_points(body, gen.dg)
+        cap = gen.max_points
+        if cap is not None and len(mx) > cap:
+            keep = np.unique(
+                np.round(np.linspace(0, len(mx) - 1, cap)).astype(int)
+            )
+            mx, my = mx[keep], my[keep]
+        return (mx, my) if len(mx) > 0 else (None, None)
+    return generate_mc_points(body, area, gen, rng)
+
+
 # ---------------------------------------------------------------------------
 # host-side floe construction
 # ---------------------------------------------------------------------------
@@ -313,12 +334,8 @@ def build_floes(
         cr = np.asarray(poly_centroid_np(ring))
         body = ring - cr
         gen = floe_settings.subfloe_point_generator
-        if isinstance(gen, SubGridPointsGenerator):
-            mx, my = generate_subgrid_points(body, gen.dg)
-            ok = len(mx) > 0
-        else:
-            mx, my = generate_mc_points(body, area, gen, rng)
-            ok = mx is not None
+        mx, my = subfloe_points_for_ring(body, area, gen, rng)
+        ok = mx is not None
         if not ok:
             mx, my = np.zeros(1), np.zeros(1)
         subs.append((mx, my))

@@ -292,7 +292,11 @@ def _boolean_halfplane(S, hc, C):
 
 
 def _with_retries_py(Sc, Cc, op, max_tries=8):
-    """Pure-Python boolean with the degeneracy-perturbation retry loop."""
+    """Pure-Python boolean with the degeneracy-perturbation retry loop.
+
+    Attempt 1 keeps the historical fixed direction; later attempts rotate
+    the offset by the golden angle so a degeneracy aligned with one
+    direction (collinear shared edges) cannot defeat the whole ladder."""
     S0 = np.asarray(Sc, float)
     C0 = np.asarray(Cc, float)
     scale = max(
@@ -303,7 +307,11 @@ def _with_retries_py(Sc, Cc, op, max_tries=8):
             if attempt == 0:
                 return _boolean(S0, C0, op)
             delta = scale * 1e-9 * (3 ** (attempt - 1))
-            off = np.array([0.6180339887, 1.0]) * delta
+            if attempt == 1:
+                off = np.array([0.6180339887, 1.0]) * delta
+            else:
+                ang = 2.399963229728653 * attempt  # golden angle
+                off = np.array([np.cos(ang), np.sin(ang)]) * delta
             return _boolean(S0, C0 + off, op)
         except _Degenerate:
             continue
@@ -313,10 +321,19 @@ def _with_retries_py(Sc, Cc, op, max_tries=8):
 def _with_retries(Sc, Cc, op, max_tries=8):
     """Boolean via the native C++ kernel (subzero_tpu/native/clip.cpp, the
     same algorithm + retry schedule) when available; pure-Python fallback
-    otherwise (SUBZERO_NATIVE=0 forces the fallback)."""
+    otherwise (SUBZERO_NATIVE=0 forces the fallback).  A degeneracy that
+    defeats the native kernel's fixed-direction ladder falls through to
+    the Python ladder, whose rotated perturbations break alignment-locked
+    cases (observed in ridge/raft differences of fracture siblings that
+    share a vertex)."""
     from .. import native
 
-    rings = native.poly_boolean(op, np.asarray(Sc, float), np.asarray(Cc, float))
+    try:
+        rings = native.poly_boolean(
+            op, np.asarray(Sc, float), np.asarray(Cc, float)
+        )
+    except RuntimeError:
+        rings = None
     if rings is None:
         return _with_retries_py(Sc, Cc, op, max_tries)
     return rings

@@ -1091,37 +1091,64 @@ def run_decomp(sim, dec, start_tstep: int = 0, callback=None, collect=None):
     return sim
 
 
-def measure_decomp_scaling(sim_builder, n_steps: int = 20, axis: str = "x"):
-    """Steps/s of the decomposed step on 1 device vs all devices.
+def measure_decomp_scaling(
+    sim_builder, n_steps: int = 20, axis: str = "x", n_dev=None,
+    segment: bool = False,
+):
+    """Steps/s of the decomposed step on 1 device vs ``n_dev`` devices.
 
     ``sim_builder()`` must return a fresh Simulation (the decomposition
-    mutates capacities).  Returns {1: sps, D: sps, "efficiency": e} where
-    efficiency = sps_D / sps_1 (same global problem, strong scaling - ideal
-    is 1.0 with perfect overlap; the single-device run does the same work
-    with no communication).
+    mutates capacities).  ``n_dev``: None -> 1-D over all devices; an int ->
+    1-D over that many x-slabs; an (Dx, Dy) tuple -> 2-D slab mesh.
+    ``segment=True`` measures the production device-resident while_loop
+    driver (build_decomp_segment, what run_decomp dispatches) instead of
+    per-step jit dispatch.
+
+    Returns {1: sps, n_dev: sps, "efficiency": e} where efficiency =
+    sps_D / sps_1 (same global problem, strong scaling - ideal is 1.0; the
+    single-device run does the same work with no communication).
     """
     import time
 
+    if n_dev is None:
+        n_dev = len(jax.devices())
     res = {}
-    for ndev in (1, len(jax.devices())):
+    for nd in (1, n_dev):
         sim = sim_builder()
-        dec = make_decomp(sim.model.floes, sim.model.domain, n_devices=ndev)
-        step = build_decomp_step(sim, dec)
-        floes_d = distribute(sim.model.floes, sim.model.domain, dec)
+        if isinstance(nd, tuple):
+            dec = make_decomp_2d(sim.model.floes, sim.model.domain, n_dev=nd)
+        else:
+            dec = make_decomp(sim.model.floes, sim.model.domain, n_devices=nd)
+        floes_d = _dec_distribute(sim.model.floes, sim.model.domain, dec)
         ocean = sim.model.ocean
         domain = sim.model.domain
-        out = step(floes_d, ocean, domain, jnp.asarray(0))
-        jax.block_until_ready(out[0].centroid)
-        floes_d, ocean, domain = out[0], out[1], out[2]
-        t0 = time.perf_counter()
-        for k in range(1, n_steps + 1):
-            floes_d, ocean, domain, _ = step(
-                floes_d, ocean, domain, jnp.asarray(k)
+        if segment:
+            seg = build_decomp_segment(sim, dec)
+            out = seg(floes_d, ocean, domain, jnp.asarray(0), jnp.asarray(1))
+            jax.block_until_ready(out[0].centroid)
+            floes_d, ocean, domain = out[0], out[1], out[2]
+            t0 = time.perf_counter()
+            out = seg(
+                floes_d, ocean, domain, jnp.asarray(1),
+                jnp.asarray(1 + n_steps),
             )
-        jax.block_until_ready(floes_d.centroid)
-        res[ndev] = n_steps / (time.perf_counter() - t0)
-    ndev = len(jax.devices())
-    res["efficiency"] = res[ndev] / res[1]
+            jax.block_until_ready(out[0].centroid)
+            elapsed = time.perf_counter() - t0
+            done = int(out[3]) - 1  # fuse marks can exit the segment early
+            res[nd] = max(done, 1) / elapsed
+        else:
+            step = build_decomp_step(sim, dec)
+            out = step(floes_d, ocean, domain, jnp.asarray(0))
+            jax.block_until_ready(out[0].centroid)
+            floes_d, ocean, domain = out[0], out[1], out[2]
+            t0 = time.perf_counter()
+            for k in range(1, n_steps + 1):
+                floes_d, ocean, domain, _ = step(
+                    floes_d, ocean, domain, jnp.asarray(k)
+                )
+            jax.block_until_ready(floes_d.centroid)
+            res[nd] = n_steps / (time.perf_counter() - t0)
+    res["efficiency"] = res[n_dev] / res[1]
     return res
 
 

@@ -811,7 +811,13 @@ def _gather_sides(
     j: jnp.ndarray,
     row_cap: int | None = None,
     n_rows: int | None = None,
+    g: jnp.ndarray | None = None,
 ) -> _PairSides:
+    """``g``: optionally the pre-gathered ``q_table[j]`` rows - the hot
+    path packs the Q rings and the Q scalar table into ONE [NQ, 2V+9]
+    array so the j side costs a single row gather (TPU row gathers are
+    issue-rate bound: two separate gathers measured 2.9 ms vs 0.8 ms
+    packed at PC = 136k, tools/probe_narrow16k.py)."""
     N = floes.capacity
     NR = N if n_rows is None else n_rows
 
@@ -833,7 +839,8 @@ def _gather_sides(
         def bi(x):
             return x[i]
 
-    g = q_table[j]  # [K, 9] - the only j-side gather
+    if g is None:
+        g = q_table[j]  # [K, 9] - the only j-side gather
     return _PairSides(
         area_i=bi(floes.area),
         h_i=bi(floes.height),
@@ -1197,7 +1204,16 @@ def timestep_collisions(
         # hybrid layout from find_candidate_pairs: NR*row_cap row-structured
         # entries followed by _extra_cap(N) second-chance entries
         row_cap0 = (PC - _extra_cap(N)) // NR
-    sides0 = _gather_sides(floes, q_table, i0, j0, row_cap=row_cap0, n_rows=NR)
+    # ONE row gather for everything the j side needs: rings + scalar table
+    # packed per Q slot (separate q_verts[j0] / q_table[j0] gathers measured
+    # 2.9 ms vs 0.8 ms packed at PC = 136k; tools/probe_narrow16k.py)
+    NQ = N + 4 + T
+    q_pack = jnp.concatenate([q_verts.reshape(NQ, 2 * V), q_table], axis=1)
+    gpk = q_pack[j0]  # [PC, 2V + 9]
+    sides0 = _gather_sides(
+        floes, q_table, i0, j0, row_cap=row_cap0, n_rows=NR,
+        g=gpk[:, 2 * V:],
+    )
 
     # deterministic degeneracy-breaking perturbation, scaled to the pair
     eps_rel = 1e-9 if dtype == jnp.float64 else 2e-6
@@ -1225,7 +1241,7 @@ def timestep_collisions(
     else:
         pv0 = floes.verts[i0]
         pn0 = floes.nverts[i0]
-    qv0 = q_verts[j0]
+    qv0 = gpk[:, : 2 * V].reshape(PC, V, 2)
     qn0 = sides0.n_j.astype(jnp.int32)
 
     tc = two_cross_dispatch(

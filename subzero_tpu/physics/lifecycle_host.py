@@ -28,8 +28,7 @@ from ..geometry.host_clip import poly_area_np, poly_centroid_np
 from ..core.domain import Domain, BoundaryKind, NORTH, SOUTH, EAST, WEST
 from ..core.floes import (
     FloeState,
-    generate_mc_points,
-    generate_subgrid_points,
+    subfloe_points_for_ring,
 )
 from ..core.init import voronoi_cells_in_box
 from ..settings import (
@@ -103,13 +102,8 @@ class HostFloes:
     def _regen_subfloe_points(self, i, ring, cent, area, fs, rng):
         body = ring - cent
         gen = fs.subfloe_point_generator
-        if isinstance(gen, SubGridPointsGenerator):
-            mx, my = generate_subgrid_points(body, gen.dg)
-            ok = len(mx) > 0
-        else:
-            mx, my = generate_mc_points(body, area, gen, rng)
-            ok = mx is not None
-        if not ok:
+        mx, my = subfloe_points_for_ring(body, area, gen, rng)
+        if mx is None:
             return False
         if len(mx) > self.P:
             sel = rng.choice(len(mx), self.P, replace=False)
@@ -816,7 +810,17 @@ def _remove_floe_overlap(
 
     Returns (transfer_vol, new_piece_slots, nregions, removed)."""
     f = hf.fields
-    regions = host_clip.difference(hf.ring(shrink_idx), grow_ring)
+    try:
+        regions = host_clip.difference(hf.ring(shrink_idx), grow_ring)
+    except RuntimeError as e:
+        # unresolvable clip degeneracy (every perturbation retry failed):
+        # skip this overlap removal for the cadence instead of killing the
+        # run - the floes move before the next ridge/raft pass and the
+        # overlap is then re-detected in a non-degenerate configuration
+        import warnings
+
+        warnings.warn(f"ridge/raft overlap removal skipped: {e}")
+        return 0.0, [], 1, False
     regions = [_rdp(r, simp.tol) if len(r) > 3 else r for r in regions]
     regions = [r for r in regions if len(r) >= 3 and poly_area_np(r) > 0]
     total_area = sum(poly_area_np(r) for r in regions)

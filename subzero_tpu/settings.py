@@ -34,19 +34,37 @@ class MonteCarloPointsGenerator:
 
 @dataclasses.dataclass(frozen=True)
 class SubGridPointsGenerator:
-    """Deterministic edge+interior lattice points (coupling.jl:86-98)."""
+    """Deterministic edge+interior lattice points (coupling.jl:86-98).
+
+    ``max_points`` (extension over the reference): cap on the per-floe
+    point count.  The coupling pipeline is padded to the LARGEST floe's
+    point count, so one oversized floe makes every floe pay its quadrature
+    cost (at the 16k-floe bench the max is 233 points vs a ~21-point mean -
+    ~10x wasted interpolation/deposition work, ~50 ms of a ~64 ms coupling
+    invocation).  A floe exceeding the cap keeps a deterministic
+    every-k-th subsample of its natural point set (proportional over the
+    ordered edge-then-interior list, so the edge/interior balance of the
+    reference's points-mean estimator is preserved - regenerating on a
+    coarser lattice instead shifts that balance and biases torque by ~20%,
+    while thinning measured <=3.5% on a pathological 12:1-thinned floe and
+    is unbiased in expectation).  ``max_points=None`` disables the cap
+    (exact reference point sets at any floe size)."""
 
     dg: float = 0.0
+    max_points: int | None = None
 
     def __post_init__(self):
         if self.dg <= 0:
             raise ValueError("dg must be positive")
 
     @staticmethod
-    def from_grid(grid, npoint_per_cell: int) -> "SubGridPointsGenerator":
+    def from_grid(
+        grid, npoint_per_cell: int, max_points: int | None = 128
+    ) -> "SubGridPointsGenerator":
         # coupling.jl:138-144
         return SubGridPointsGenerator(
-            min(grid.dx, grid.dy) / npoint_per_cell / (2.0 ** 0.5)
+            min(grid.dx, grid.dy) / npoint_per_cell / (2.0 ** 0.5),
+            max_points,
         )
 
 

@@ -1,4 +1,18 @@
 import os
+import resource
+
+# XLA's CPU backend compiles the suite's largest programs (shard_map +
+# while_loop segments) with deeply recursive LLVM/HLO passes; under the
+# default 8 MB stack rlimit those compiles intermittently SEGFAULT the
+# process mid-suite (observed in jax backend_compile_and_load and in the
+# compile-cache writer, at different tests each run).  On Linux the main
+# thread's stack grows on demand up to the soft rlimit, so raising it
+# before JAX loads removes the crash without affecting anything else.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 << 20  # 512 MB
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+    resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
 
 # Tests run on a virtual multi-device CPU mesh in double precision so that
 # sharding logic is exercised without TPU hardware and golden numbers from the

@@ -422,6 +422,10 @@ def test_decomp_scaling_overhead():
 
     res = measure_decomp_scaling(builder, n_steps=5)
     assert res["efficiency"] > 0.5, res
+    # production driver (device-resident while_loop segment, what
+    # run_decomp dispatches) must hold the same bound
+    res_seg = measure_decomp_scaling(builder, n_steps=5, segment=True)
+    assert res_seg["efficiency"] > 0.5, res_seg
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,43 @@ def test_subgrid_points_tall_rect():
         assert any(close(w, g) for g in got), w
 
 
+def test_max_points_thinning():
+    """SubGridPointsGenerator.max_points (TPU extension, settings.py):
+    oversized floes keep a deterministic proportional subsample whose
+    points-mean stays close to the full set's (the coupling force is the
+    points-mean times area, coupling.jl:1486-1589)."""
+    from subzero_tpu.core.floes import subfloe_points_for_ring
+    from subzero_tpu.settings import SubGridPointsGenerator
+
+    ring = np.array(
+        [[-1e4, -1e4], [1.3e4, -1.1e4], [1.5e4, 1e4], [-0.5e4, 1.6e4]]
+    )
+    area = 0.0  # unused for subgrid
+    full_gen = SubGridPointsGenerator(707.0)
+    fx, fy = subfloe_points_for_ring(ring, area, full_gen, None)
+    assert len(fx) > 400
+    capped = SubGridPointsGenerator(707.0, max_points=128)
+    cx, cy = subfloe_points_for_ring(ring, area, capped, None)
+    assert len(cx) == 128
+    # deterministic
+    cx2, cy2 = subfloe_points_for_ring(ring, area, capped, None)
+    np.testing.assert_array_equal(cx, cx2)
+    # subsample of the full set
+    full_set = _pointset(fx, fy)
+    assert _pointset(cx, cy) <= full_set
+    # the quadrature mean moves by far less than the floe scale: the mean
+    # of a smooth integrand (here the points themselves, the first moment)
+    # is preserved to ~1% of rmax by proportional thinning
+    rmax = np.sqrt((ring**2).sum(1).max())
+    assert abs(cx.mean() - fx.mean()) < 0.02 * rmax
+    assert abs(cy.mean() - fy.mean()) < 0.02 * rmax
+    # small floes are untouched
+    sm = np.array([[-2.5, -2.5], [2.5, -2.5], [2.5, 2.5], [-2.5, 2.5]])
+    sx, sy = subfloe_points_for_ring(sm, area, capped, None)
+    gx, gy = subfloe_points_for_ring(sm, area, full_gen, None)
+    np.testing.assert_array_equal(sx, gx)
+
+
 def test_subgrid_points_wide_rect():
     """test_coupling.jl:106-130 (transpose of the tall case)."""
     ring = np.array([[-10.0, -2.0], [10.0, -2.0], [10.0, 2.0], [-10.0, 2.0]])

@@ -9,11 +9,14 @@ to the DCE / loop-invariant-hoisting artifacts that make isolated probes
 misleading (see tools/profile_scan.py vs tools/profile_step.py).
 
   PYTHONPATH="$PYTHONPATH:/root/repo" nohup python tools/profile_marginal.py \
-      > /tmp/profile_marginal.out 2>&1 &
+      [n L n_steps bins] > /tmp/profile_marginal.out 2>&1 &
 """
 
 import dataclasses
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 
 def main():
@@ -49,7 +52,14 @@ def main():
         return (time.perf_counter() - t0) / n_steps * 1e3
 
     print("device:", jax.devices()[0], flush=True)
-    base = bench.build_sim(500, 1e5, 2e3)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    L = float(sys.argv[2]) if len(sys.argv) > 2 else 1e5
+    n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    use_bins = len(sys.argv) > 4 and sys.argv[4] not in ("0", "")
+    base = bench.build_sim(n, L, 2e3, bins=use_bins)
+
+    def measure(sim, _measure=measure):  # bind the chosen scan length
+        return _measure(sim, n_steps=n_steps)
 
     ms_full = measure(base)
     print(f"full step:            {ms_full:8.3f} ms", flush=True)
