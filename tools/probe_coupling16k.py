@@ -113,6 +113,34 @@ def main():
     print(f"  interp+drag, no sums:  {scan_time(t_drag):8.3f} ms",
           flush=True)
 
+    # hypothesis: XLA duplicates the interp gathers into every consumer
+    # fusion (remat); a barrier forces one materialization
+    def t_drag_barrier(f):
+        ca = jnp.cos(f.alpha)[:, None]
+        sa = jnp.sin(f.alpha)[:, None]
+        px = ca * f.sub_x - sa * f.sub_y + f.centroid[:, 0:1]
+        py = sa * f.sub_x + ca * f.sub_y + f.centroid[:, 1:2]
+        vals = CPL._bilinear(stacked, px, py, gr, dm.ew_periodic,
+                             dm.ns_periodic)
+        vals = jax.lax.optimization_barrier(vals)
+        uatm, vatm, uocn, vocn, hflx = (vals[..., k] for k in range(5))
+        xc = px - f.centroid[:, 0:1]
+        yc = py - f.centroid[:, 1:2]
+        upoint = f.u[:, None] - f.xi[:, None] * yc
+        vpoint = f.v[:, None] + f.xi[:, None] * xc
+        du_ai = uatm - upoint
+        dv_ai = vatm - vpoint
+        nrm_a = jnp.sqrt(du_ai**2 + dv_ai**2)
+        tx = consts.rho_a * consts.Cd_ia * nrm_a * du_ai
+        du_oi = uocn - upoint
+        dv_oi = vocn - vpoint
+        nrm_o = jnp.sqrt(du_oi**2 + dv_oi**2)
+        tx = tx + consts.rho_o * consts.Cd_io * nrm_o * du_oi
+        return jnp.sum(tx).astype(jnp.float32)
+
+    print(f"  interp+drag, barrier:  {scan_time(t_drag_barrier):8.3f} ms",
+          flush=True)
+
     def t_oneway_pts(f):
         ow = CPL.calc_one_way_coupling(f, gr, dm, oc, at, consts)
         # pull on the per-point outputs instead of the floe sums

@@ -133,6 +133,95 @@ def main():
     ms = scan_time(kern_compact)
     print(f"gathers+kernel on compacted [{KC}]: {ms:8.3f} ms", flush=True)
 
+    # force recipe + accumulation on the fast-path contact list
+    from subzero_tpu.geometry.clip import ClipRegions
+
+    q_cent = jnp.concatenate(
+        [fl.centroid, jnp.zeros((4, 2), dtype),
+         dm.topography.centroid.astype(dtype)], 0)
+    qt_full = C._q_table(fl, dm, q_n, q_cent, dtype)
+    E2 = C._extra_cap(N)
+    rc = (PC - E2) // N
+    tc0 = two_cross_dispatch(
+        q_verts[i0], fl.nverts[jnp.minimum(i0, N - 1)],
+        q_verts[j0] + pairs.shift[:, None, :], q_n[j0], perturb)
+
+    def t_forces(j):
+        sides = C._gather_sides(fl, qt_full, i0, j, row_cap=rc, n_rows=N)
+        regions = ClipRegions(
+            total_area=tc0.area, area=tc0.area[:, None],
+            centroid=tc0.centroid[:, None, :],
+            n_cross=jnp.full((PC, 1), 2, jnp.int32),
+            chord_a=tc0.chord_a[:, None, :], chord_b=tc0.chord_b[:, None, :],
+            p_norm=tc0.p_norm[:, None, :],
+            p_len=jnp.zeros((PC, 1), dtype),
+            p_cnt=jnp.zeros((PC, 1), jnp.int32),
+            q_cnt=jnp.zeros((PC, 1), jnp.int32),
+            valid=(pairs.valid & (tc0.area > 0))[:, None],
+            overflow=jnp.asarray(False),
+        )
+        on = pairs.valid & tc0.ok
+        force, fp, rec = C._region_forces(
+            sim.consts, float(sim.dt), dm.vals, sides, pairs.shift,
+            regions, on)
+        acc = C._accumulate_contacts(
+            N, i0, j, sides, pairs.valid, (j < N) & pairs.valid,
+            pairs.shift, force, fp, rec, row_cap=rc, n_rows=N)
+        return jnp.sum(acc[0]).astype(jnp.float32)
+
+    ms = scan_time(t_forces)
+    print(f"forces+accumulate  [{PC}]:     {ms:8.3f} ms", flush=True)
+
+    def t_accum_only(j):
+        sides = C._gather_sides(fl, qt_full, i0, j, row_cap=rc, n_rows=N)
+        force = jnp.stack([tc0.area, tc0.area], -1)[:, None, :]
+        fp = tc0.centroid[:, None, :]
+        rec = tc0.area[:, None]
+        acc = C._accumulate_contacts(
+            N, i0, j, sides, pairs.valid, (j < N) & pairs.valid,
+            pairs.shift, force, fp, rec, row_cap=rc, n_rows=N)
+        return jnp.sum(acc[0]).astype(jnp.float32)
+
+    ms = scan_time(t_accum_only)
+    print(f"gather+accumulate only [{PC}]: {ms:8.3f} ms", flush=True)
+
+    # timestep_collisions staged via DCE: consuming only part of the result
+    # lets XLA dead-code-eliminate the downstream stages, so differences
+    # locate cost inside the real fused program
+    def run_col(j):
+        return C.timestep_collisions(
+            fl._replace(centroid=fl.centroid + (j[0] % 2).astype(dtype)
+                        * 1e-30),
+            dm, sim.consts, float(sim.dt), sim.collision_settings,
+            sim.pair_cap, sim.clip_cap, sim.bins)
+
+    ms = scan_time(lambda j: jnp.sum(
+        run_col(j).overflow.astype(jnp.float32)))
+    print(f"col DCE->overflow (broad+narrow+slow): {ms:8.3f} ms", flush=True)
+
+    ms = scan_time(lambda j: jnp.sum(run_col(j).floes.overarea).astype(
+        jnp.float32))
+    print(f"col DCE->overarea (+forces+accum):     {ms:8.3f} ms", flush=True)
+
+    ms = scan_time(lambda j: jnp.sum(run_col(j).floes.fuse_with).astype(
+        jnp.float32))
+    print(f"col DCE->fuse marks:                   {ms:8.3f} ms", flush=True)
+
+    def t_full(j):
+        res = run_col(j)
+        return (jnp.sum(res.floes.collision_force)
+                + jnp.sum(res.stress_instant)
+                + jnp.sum(res.floes.collision_trq)
+                + res.overflow.astype(dtype)).astype(jnp.float32)
+
+    ms = scan_time(t_full)
+    print(f"timestep_collisions full:      {ms:8.3f} ms", flush=True)
+
+    dbg = C.timestep_collisions(
+        fl, dm, sim.consts, float(sim.dt), sim.collision_settings,
+        sim.pair_cap, sim.clip_cap, sim.bins, with_debug=True)[1]
+    print("state:", {k: int(v) for k, v in dbg.items()}, flush=True)
+
 
 if __name__ == "__main__":
     main()
