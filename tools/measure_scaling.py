@@ -1,25 +1,31 @@
 #!/usr/bin/env python
 """Distributed-step scaling measurements at production scale (SCALING.md).
 
-The old 1-dev-vs-8-dev "strong scaling" ratio is meaningless at N >= 8k:
-the decomposed step runs a dense per-slab broad phase, so splitting the
-pool 8 ways does ~8x less total broad-phase work than one dense pool and
-the ratio comes out > 1.  Instead this measures:
+Two complementary measurements, replacing the old 1-dev-vs-8-dev "strong
+scaling" ratio (meaningless at N >= 8k: the decomposed step runs a dense
+per-slab broad phase, so 8 slabs do ~8x less total broad-phase work than
+one dense pool and the ratio comes out > 1):
 
-1. COMMUNICATION OVERHEAD, isolated on the same 8-device mesh: the
-   production decomposition (2.2*rmax halo margin, sized halo/migration
-   buffers, grid psums) vs a comm-lite build of the same program
-   (margin ~ 0, 8-row buffers - ppermute volume ~ 0, identical core
-   sharing).  efficiency_proxy = sps_prod / sps_lite.  The comm-lite
-   variant also shaves the halo rows' compute, so the reported overhead
-   OVERSTATES pure communication - a conservative lower bound on real
-   efficiency (on hardware the ppermutes ride ICI, far faster than this
-   proxy's host memcpys).
-2. RUN-LEVEL context: the production single-device driver (run_scan,
-   binned broad phase) vs the 8-slab run_decomp segment driver, all 8
-   virtual devices sharing the host's 2 vCPUs (real-HW decomp throughput
-   would be ~4x better per device before any algorithmic gain).
-3. run_decomp with the fracture lifecycle ON (host passes at cadence).
+1. COMM ISOLATION on the same 8-device mesh: the production program vs
+   the SAME program with every ppermute replaced by the identity
+   permutation (decomp.COMM_IDENTITY) - identical buffer shapes, packing
+   work, and physics compute; only the inter-device data motion differs.
+   overhead = 1 - sps_prod / sps_identity is pure communication cost *on
+   this proxy* (virtual CPU devices exchange via host memcpy; real
+   hardware rides ICI, orders of magnitude faster per byte - see 2).
+
+2. ICI PROJECTION from measured communication VOLUME: ppermute moves the
+   full static buffers every step, so per-device bytes/step follow from
+   the decomposition capacities (decomp.comm_bytes_per_step).  Dividing
+   by public TPU v5e ICI bandwidth (4.5e10 B/s one-way per link; the
+   1-D ring uses both directions concurrently) gives the hardware comm
+   time, compared against the measured TPU per-slab step time.
+
+   projected_efficiency = t_step / (t_step + t_comm_ici)
+
+Also prints run-level context rows (single-device run_scan vs 8-slab
+run_decomp segment driver on the shared-host mesh) and a fracture-on
+run_decomp wall time.
 
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
@@ -32,16 +38,28 @@ import time
 
 sys.path.insert(0, ".")
 
+# public number: TPU v5e ICI one-way bandwidth per link (bytes/s)
+ICI_BW = 4.5e10
+# measured TPU v5e per-slab step time to set the compute scale for the
+# projection: bench many_floes_8000/8 slabs ~ 1000 floes/slab; the closest
+# single-chip measurement is shear_flow_500 (509 floes, dense broad phase,
+# two-way coupling) = 0.664 ms/step, many_floes_2000 (dense) = 2.70 ms.
+# Interpolating at ~1000 floes: ~1.3 ms/step; use the conservative smaller
+# value (less compute -> comm looks relatively worse).
+T_STEP_SLAB_S = 1.3e-3
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
     import bench
+    from subzero_tpu.parallel import decomp as DEC
     from subzero_tpu.parallel.decomp import (
         build_decomp_segment,
         build_decomp_step,
         _dec_distribute,
+        comm_bytes_per_step,
         make_decomp,
         make_decomp_2d,
         run_decomp,
@@ -84,29 +102,40 @@ def main():
 
     rows = []
     for label, make, seg in (
-        ("1-D 8 slabs, per-step", lambda s, lite: make_decomp(
-            s.model.floes, s.model.domain, n_devices=8,
-            **(dict(margin=1.0, halo_cap=8, mig_cap=8) if lite else {})),
-         False),
-        ("1-D 8 slabs, segment driver", lambda s, lite: make_decomp(
-            s.model.floes, s.model.domain, n_devices=8,
-            **(dict(margin=1.0, halo_cap=8, mig_cap=8) if lite else {})),
-         True),
-        ("2-D (4,2) slabs, per-step", lambda s, lite: make_decomp_2d(
-            s.model.floes, s.model.domain, n_dev=(4, 2),
-            **(dict(margin=1.0, halo_cap=8, mig_cap=8) if lite else {})),
-         False),
+        ("1-D 8 slabs, per-step", lambda s: make_decomp(
+            s.model.floes, s.model.domain, n_devices=8), False),
+        ("1-D 8 slabs, segment driver", lambda s: make_decomp(
+            s.model.floes, s.model.domain, n_devices=8), True),
+        ("2-D (4,2) slabs, per-step", lambda s: make_decomp_2d(
+            s.model.floes, s.model.domain, n_dev=(4, 2)), False),
     ):
         t0 = time.perf_counter()
         sim = builder()
-        sps_prod = measure_step(sim, make(sim, False), segment=seg)
-        sim = builder()
-        sps_lite = measure_step(sim, make(sim, True), segment=seg)
-        eff = sps_prod / sps_lite
-        rows.append((label, sps_prod, sps_lite, eff))
+        dec = make(sim)
+        DEC.COMM_IDENTITY = False
+        sps_prod = measure_step(sim, dec, segment=seg)
+        DEC.COMM_IDENTITY = True
+        try:
+            sps_ident = measure_step(sim, dec, segment=seg)
+        finally:
+            DEC.COMM_IDENTITY = False
+        eff = min(sps_prod / sps_ident, 1.0)
+        vol = comm_bytes_per_step(sim, dec)
+        # 1-D ring: left+right buffers move concurrently on separate link
+        # directions -> per-link one-way volume is halo_cap + mig_cap rows
+        one_way = vol["total"] / 2.0
+        t_comm = one_way / ICI_BW
+        proj = T_STEP_SLAB_S / (T_STEP_SLAB_S + t_comm)
+        rows.append((label, sps_prod, sps_ident, eff, vol["total"], t_comm,
+                     proj))
         print(
-            f"{label:28s}  prod {sps_prod:7.3f} sps  comm-lite "
-            f"{sps_lite:7.3f} sps  efficiency-proxy {eff:.3f}"
+            f"{label:28s}  prod {sps_prod:7.3f} sps  identity-perm "
+            f"{sps_ident:7.3f} sps  proxy-efficiency {eff:.3f}  "
+            f"comm {vol['total'] / 1e6:.2f} MB/step/dev "
+            f"(halo {vol['halo_bytes'] / 1e6:.2f} + mig "
+            f"{vol['migration_bytes'] / 1e6:.2f} + grid "
+            f"{vol['grid_psum_bytes_amortized'] / 1e6:.2f})  "
+            f"ICI {t_comm * 1e6:.0f} us -> projected eff {proj:.3f}"
             f"   [{time.perf_counter() - t0:.0f}s incl. compile]",
             flush=True,
         )
@@ -140,10 +169,12 @@ def main():
             flush=True,
         )
 
-    print("\n| configuration | production sps | comm-lite sps | efficiency proxy |")
-    print("|---|---|---|---|")
-    for label, sp, sl, eff in rows:
-        print(f"| {label} | {sp:.3f} | {sl:.3f} | **{eff:.3f}** |")
+    print("\n| configuration | prod sps | identity-perm sps | proxy eff | "
+          "comm MB/step | ICI time | projected eff |")
+    print("|---|---|---|---|---|---|---|")
+    for label, sp, si, eff, volb, tc, proj in rows:
+        print(f"| {label} | {sp:.3f} | {si:.3f} | {eff:.3f} | "
+              f"{volb / 1e6:.2f} | {tc * 1e6:.0f} us | **{proj:.3f}** |")
 
 
 if __name__ == "__main__":
