@@ -65,6 +65,71 @@ _HALO_FIELDS = (
     "u", "v", "xi", "active", "id",
 )
 
+# Diagnostic hook (tools/measure_scaling.py): when True, every halo and
+# migration ppermute uses the IDENTITY permutation (d -> d).  The program
+# keeps its exact buffer shapes, packing work, and collision/coupling
+# compute, but moves no data between devices - so the prod-vs-identity
+# timing delta on a mesh isolates pure communication cost without the
+# compute confound of shrinking the halo margin (a small margin also
+# shrinks the extended collision pool, which changes compute).
+COMM_IDENTITY = False
+
+
+def comm_bytes_per_step(sim, dec) -> dict:
+    """Per-device communication volume of one decomposed step, in bytes.
+
+    Counts what each device SENDS per step through the three channels:
+      * halo exchange: 2 directions x halo_cap rows of _HALO_FIELDS
+        (2-D decomps exchange along both axes + corner pass-through)
+      * migration: 2 directions x mig_cap rows of the FULL floe state
+      * psum'd grid reductions at coupling cadence (two-way coupling) and
+        the per-step overflow/fuse scalars (ring all-reduce sends ~2x the
+        array per device)
+
+    These are capacity bounds (ppermute always moves the full static
+    buffer); the actual occupied rows are far fewer.  Used by
+    tools/measure_scaling.py to project real-hardware efficiency from ICI
+    bandwidth instead of host-memcpy timing on the CPU proxy mesh.
+    """
+    import numpy as np
+
+    fl = sim.model.floes
+    halo_row = sum(
+        int(np.prod(getattr(fl, f).shape[1:]) or 1)
+        * getattr(fl, f).dtype.itemsize
+        for f in _HALO_FIELDS
+    )
+    full_row = sum(
+        int(np.prod(a.shape[1:]) or 1) * a.dtype.itemsize for a in fl
+    )
+    n_axes = 2 if isinstance(dec, Decomp2D) else 1
+    # 2-D corner coverage re-sends the already-received perpendicular halos
+    # (two-pass scheme): count both passes
+    halo_b = 2 * n_axes * dec.halo_cap * halo_row
+    if n_axes == 2:
+        halo_b += 2 * 2 * dec.halo_cap * halo_row  # corner pass-through
+    mig_b = 2 * n_axes * dec.mig_cap * full_row
+    grid_b = 0
+    if sim.coupling_settings.coupling_on:
+        oc = sim.model.ocean
+        per_inv = sum(
+            int(np.prod(a.shape) or 1) * a.dtype.itemsize
+            for a in (oc.tau_x, oc.tau_y, oc.si_frac, oc.hflx_factor,
+                      oc.dissolved)
+        )
+        if not sim.coupling_settings.two_way_coupling_on:
+            per_inv = int(np.prod(oc.dissolved.shape)) * oc.dissolved.dtype.itemsize
+        # ring all-reduce: each device sends ~2 * (D-1)/D ~ 2x the array
+        grid_b = int(2 * per_inv / max(int(sim.coupling_settings.dt), 1))
+    return {
+        "halo_bytes": halo_b,
+        "migration_bytes": mig_b,
+        "grid_psum_bytes_amortized": grid_b,
+        "total": halo_b + mig_b + grid_b,
+        "halo_row_bytes": halo_row,
+        "full_row_bytes": full_row,
+    }
+
 
 @dataclasses.dataclass(frozen=True)
 class Decomp:
@@ -353,6 +418,9 @@ def _make_parts_1d(sim, dec: Decomp, row_cap=None):
 
     # ppermute perms: send right = (d -> d+1), send left = (d -> d-1)
     def perms(domain: Domain):
+        if COMM_IDENTITY:  # timing diagnostic: same shapes, no data motion
+            ident = [(d, d) for d in range(D)]
+            return ident, ident
         wrap = domain.ew_periodic
         right = [(d, (d + 1) % D) for d in range(D if wrap else D - 1)]
         left = [((d + 1) % D, d) for d in range(D if wrap else D - 1)]
@@ -393,6 +461,19 @@ def _make_parts_1d(sim, dec: Decomp, row_cap=None):
             # receive from right neighbor (their left-edge floes) and left
             recv_from_right = pshuffle(pk_l, perm_l)
             recv_from_left = pshuffle(pk_r, perm_r)
+            if COMM_IDENTITY:
+                # identity-perm diagnostic: self-copies would sit exactly on
+                # the sender's own floes (instant fuse marks + degenerate
+                # contacts) - deactivate them; all shapes/padded compute stay
+                # identical to the production program
+                recv_from_right = dict(
+                    recv_from_right,
+                    active=jnp.zeros_like(recv_from_right["active"]),
+                )
+                recv_from_left = dict(
+                    recv_from_left,
+                    active=jnp.zeros_like(recv_from_left["active"]),
+                )
             if domain.ew_periodic:
                 # periodic wrap: device 0's left neighbor is D-1 whose floes
                 # sit near the east edge - shift them west by Lx (mirrored)
@@ -1327,6 +1408,9 @@ def _make_parts_2d(sim, dec: Decomp2D, row_cap=None):
     pair_cap = max(row_cap * Nl, 256)
 
     def perms(D, wrap):
+        if COMM_IDENTITY:  # timing diagnostic: same shapes, no data motion
+            ident = [(d, d) for d in range(D)]
+            return ident, ident
         fwd = [(d, (d + 1) % D) for d in range(D if wrap else D - 1)]
         bwd = [((d + 1) % D, d) for d in range(D if wrap else D - 1)]
         return fwd, bwd
@@ -1347,6 +1431,15 @@ def _make_parts_2d(sim, dec: Decomp2D, row_cap=None):
         fwd, bwd = perms(D, wrap)
         recv_from_hi = pshuffle(pk_lo, axis, bwd)
         recv_from_lo = pshuffle(pk_hi, axis, fwd)
+        if COMM_IDENTITY:
+            # identity-perm diagnostic: deactivate self-copied halos (see
+            # the 1-D variant) - shapes and padded compute stay production
+            recv_from_hi = dict(
+                recv_from_hi, active=jnp.zeros_like(recv_from_hi["active"])
+            )
+            recv_from_lo = dict(
+                recv_from_lo, active=jnp.zeros_like(recv_from_lo["active"])
+            )
         if wrap:
             sl = jnp.where(me == 0, -Lax, 0.0)
             sh = jnp.where(me == D - 1, Lax, 0.0)

@@ -385,10 +385,31 @@ def _find_candidate_pairs_binned(
     )
     bin_overflow = jnp.any(counts > M)
 
-    # 3x3 neighbor bins
-    offs = jnp.asarray([-1, 0, 1])
-    nx_idx = ibx[:, None, None] + offs[None, :, None]  # [N,3,1]
-    ny_idx = iby[:, None, None] + offs[None, None, :]  # [N,1,3]
+    # Neighbor bins: a forward HALF-SHELL (self + E, NE, N, NW) instead of
+    # the full 3x3 - every floe-floe pair is enumerated by exactly one
+    # side, so candidate columns drop from 9M to 5M (broad phase was 7.9 ms
+    # of the 17.4 ms collision cost at N=16k; tools/probe_broad16k.py).
+    # Ownership: same-bin pairs keep the (i+j)-parity rule; cross-bin pairs
+    # belong to the floe whose bin sees the other in its forward set (the
+    # forward and backward offset sets partition the 8 neighbors, so this
+    # is exact).  Degenerate grids where periodic mod-wrap would collide a
+    # forward offset with a backward one (nbx or nby < 3) fall back to the
+    # full 3x3 + parity everywhere.
+    half_shell = (nbx >= 3 or not domain.ew_periodic) and (
+        nby >= 3 or not domain.ns_periodic
+    )
+    if half_shell:
+        d_off = ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1))
+        own_all = (False, True, True, True, True)
+    else:
+        d_off = ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1),
+                 (-1, 0), (-1, -1), (0, -1), (1, -1))
+        own_all = (False,) * 9
+    NK = len(d_off)
+    dxs = jnp.asarray([o[0] for o in d_off])
+    dys = jnp.asarray([o[1] for o in d_off])
+    nx_idx = ibx[:, None] + dxs[None, :]             # [N, NK]
+    ny_idx = iby[:, None] + dys[None, :]
     if domain.ew_periodic:
         nx_ok = jnp.ones_like(nx_idx, bool)
         nx_idx = jnp.mod(nx_idx, nbx)
@@ -401,27 +422,33 @@ def _find_candidate_pairs_binned(
     else:
         ny_ok = (ny_idx >= 0) & (ny_idx < nby)
         ny_idx = jnp.clip(ny_idx, 0, nby - 1)
-    nb_id = (nx_idx * nby + ny_idx).reshape(N, 9)
-    nb_ok = (nx_ok & ny_ok).reshape(N, 9)
+    nb_id = nx_idx * nby + ny_idx                    # [N, NK]
+    nb_ok = nx_ok & ny_ok
 
     # Candidate data comes from small per-bin tables gathered as whole
-    # M-rows ([N, 9] row-block gathers), NOT per-element gathers through
-    # j_cand ([N, 9, M] random gathers serialize on TPU and dominated the
-    # binned step).  mem_sel == N marks empty slots.  (Packing the four
-    # tables into one [NB, M, 5] gather was measured SLOWER - the pack
-    # construction costs more than the extra gathers.)
+    # M-rows ([N, NK] row-block gathers), NOT per-element gathers through
+    # j_cand ([N, NK, M] random gathers serialize on TPU and dominated the
+    # binned step).  Each table is a flat [NB, M] array so the gather
+    # output tiles cleanly - the old [NB, M, 2] centroid table's minor dim
+    # of 2 padded to a full 128-lane tile and its gather alone cost as
+    # much as the other three combined (probe_broad16k).  The j table's
+    # sentinel N doubles as the empty-slot mask (slot_ok).
     mem_safe = jnp.minimum(mem_sel, N - 1)
-    cm = jnp.where(mem_valid[..., None], c[mem_safe], 0.0)     # [NB, M, 2]
-    rm = jnp.where(mem_valid, r[mem_safe], 0.0)                # [NB, M]
-    slot_ok = mem_valid[nb_id]                       # [N,9,M]  (row gather)
-    j_cand = jnp.minimum(mem_sel[nb_id], N - 1)      # [N,9,M]  (row gather)
-    c_cand = cm[nb_id]                               # [N,9,M,2](row gather)
-    r_cand = rm[nb_id]                               # [N,9,M]  (row gather)
+    jt = jnp.where(mem_valid, mem_sel, N).astype(jnp.int32)    # [NB, M]
+    cx_t = c[mem_safe, 0]
+    cy_t = c[mem_safe, 1]
+    rm_t = jnp.where(mem_valid, r[mem_safe], 0.0)
+    jg = jt[nb_id]                                   # [N,NK,M] (row gather)
+    slot_ok = jg < N
+    j_cand = jnp.minimum(jg, N - 1)
+    cx_cand = cx_t[nb_id]                            # [N,NK,M] (row gather)
+    cy_cand = cy_t[nb_id]
+    r_cand = rm_t[nb_id]
     iidx = jnp.arange(N)[:, None, None]
 
     # min-image fold + circle test (identical physics to the dense path)
-    dx = c[:, 0][:, None, None] - c_cand[..., 0]
-    dy = c[:, 1][:, None, None] - c_cand[..., 1]
+    dx = c[:, 0][:, None, None] - cx_cand
+    dy = c[:, 1][:, None, None] - cy_cand
     sx = jnp.zeros_like(dx)
     sy = jnp.zeros_like(dy)
     if domain.ew_periodic:
@@ -433,13 +460,15 @@ def _find_candidate_pairs_binned(
         sy = jnp.where(fold, jnp.sign(dy) * Ly, 0.0)
         dy = dy - sy
     rsum = r[:, None, None] + r_cand
+    own = jnp.asarray(own_all)[None, :, None] | (
+        (((iidx + j_cand) % 2) == 0) == (iidx < j_cand)
+    )
     mask = (
         nb_ok[:, :, None]
         & slot_ok
         & act[:, None, None]
-        # balanced pair ownership by (i+j) parity (see dense variant);
         # members are active by construction (inactive bin_id -> NB)
-        & ((((iidx + j_cand) % 2) == 0) == (iidx < j_cand))
+        & own
         & (iidx != j_cand)
         & (dx * dx + dy * dy < rsum * rsum)
     )
@@ -452,8 +481,8 @@ def _find_candidate_pairs_binned(
     fw, ft = _wall_topo_masks(floes, domain)
     T = domain.topography.count
 
-    # unified candidate matrix: [N, 9M | 4 walls | T topo]
-    CFF = 9 * M
+    # unified candidate matrix: [N, NK*M | 4 walls | T topo]
+    CFF = NK * M
     C2 = CFF + 4 + T
     full_mask = jnp.concatenate([mask.reshape(N, CFF), fw, ft], axis=1)
     row_cap = max(min(pair_cap // max(N, 1), C2), 8)

@@ -77,6 +77,77 @@ def _bilinear(field, gx, gy, grid: RegRectilinearGrid, ew_periodic, ns_periodic)
     )
 
 
+def _windowed_interp(
+    fields_fw, px, py, centroid, grid, ew_periodic, ns_periodic, W
+):
+    """Per-floe windowed bilinear interpolation (TPU fast path).
+
+    ``fields_fw`` is [F, Nx+1, Ny+1] (field-major).  The generic
+    ``_bilinear`` pays four random row-gathers per point - 8M serialized
+    gathers at N=16k, P=128, 17 ms of the 54 ms coupling invocation, plus
+    ~25 ms of [N, P, F]-minor layout padding in its consumers
+    (tools/probe_coupling16k.py).  Every sub-floe point lies within rmax
+    of its floe's centroid, so instead gather ONE [F, W, W] node window
+    per floe (N dynamic-slice gathers from a halo-padded grid) and
+    evaluate the bilinear as two W-contractions against one-hot weight
+    stencils - MXU work with clean [.., P]-minor layouts throughout.
+
+    Returns (vals [N, F, P], point_overflow [N, P]).  A point outside its
+    floe's window (rmax grown past the window guarantee - same failure
+    mode as the two-way cell window) reads clamped values and flags
+    overflow; callers surface it like every other capacity flag.
+    """
+    F = fields_fw.shape[0]
+    dtype = px.dtype
+    GX, GY = grid.Nx + 1, grid.Ny + 1
+    # halo-pad the node grid by W on every side: periodic wrap (node Nx is
+    # node 0) or edge clamp (off-grid points are masked by in_bounds)
+    xs = jnp.arange(-W, GX + W)
+    ys = jnp.arange(-W, GY + W)
+    xs = jnp.mod(xs, grid.Nx) if ew_periodic else jnp.clip(xs, 0, grid.Nx)
+    ys = jnp.mod(ys, grid.Ny) if ns_periodic else jnp.clip(ys, 0, grid.Ny)
+    pf = fields_fw[:, xs][:, :, ys]              # [F, GX+2W, GY+2W]
+    PX, PY = pf.shape[1], pf.shape[2]
+
+    fcx = (centroid[:, 0] - grid.x0) / grid.dx
+    fcy = (centroid[:, 1] - grid.y0) / grid.dy
+    bx0 = jnp.floor(fcx).astype(jnp.int32) - (W // 2 - 1)
+    by0 = jnp.floor(fcy).astype(jnp.int32) - (W // 2 - 1)
+    # clamp into the padded array (inactive floes may hold garbage)
+    bxp = jnp.clip(bx0 + W, 0, PX - W)
+    byp = jnp.clip(by0 + W, 0, PY - W)
+    win = jax.vmap(
+        lambda bx, by: jax.lax.dynamic_slice(
+            pf, (jnp.zeros((), bx.dtype), bx, by), (F, W, W)
+        )
+    )(bxp, byp)                                  # [N, F, W, W]
+
+    fx = (px - grid.x0) / grid.dx
+    fy = (py - grid.y0) / grid.dy
+    ix = jnp.floor(fx)
+    iy = jnp.floor(fy)
+    wx = (fx - ix).astype(dtype)
+    wy = (fy - iy).astype(dtype)
+    lx = ix.astype(jnp.int32) - (bxp - W)[:, None]   # window-local node
+    ly = iy.astype(jnp.int32) - (byp - W)[:, None]
+    ovf = (lx < 0) | (lx > W - 2) | (ly < 0) | (ly > W - 2)
+    lx = jnp.clip(lx, 0, W - 2)
+    ly = jnp.clip(ly, 0, W - 2)
+    ar = jnp.arange(W, dtype=jnp.int32)
+    ex0 = ar[None, :, None] == lx[:, None, :]
+    ex1 = ar[None, :, None] == (lx + 1)[:, None, :]
+    ax = (
+        ex0 * (1 - wx)[:, None, :] + ex1 * wx[:, None, :]
+    )                                            # [N, W, P] weight stencil
+    ey0 = ar[None, :, None] == ly[:, None, :]
+    ey1 = ar[None, :, None] == (ly + 1)[:, None, :]
+    ay = ey0 * (1 - wy)[:, None, :] + ey1 * wy[:, None, :]
+    hi = jax.lax.Precision.HIGHEST
+    t1 = jnp.einsum("nxp,nfxy->nfyp", ax, win, precision=hi)
+    vals = jnp.einsum("nyp,nfyp->nfp", ay, t1, precision=hi)
+    return vals, ovf
+
+
 class OneWayResult(NamedTuple):
     floes: FloeState
     # per-point data retained for two-way coupling
@@ -86,6 +157,7 @@ class OneWayResult(NamedTuple):
     pt_tau_x_ocn: jnp.ndarray  # [N, P] ocean-on-ice stress at point
     pt_tau_y_ocn: jnp.ndarray
     pt_cell: jnp.ndarray     # [N, P] flattened line-centered cell index
+    window_ovf: jnp.ndarray  # [] windowed-interp coverage overflow
 
 
 def calc_one_way_coupling(
@@ -95,7 +167,14 @@ def calc_one_way_coupling(
     ocean: OceanState,
     atmos: AtmosState,
     consts: Constants,
+    window: int | None = None,
 ) -> OneWayResult:
+    """One-way (ocean/atmos -> floe) forcing (coupling.jl:1180-1300).
+
+    ``window``: node-window width for the TPU fast-path interpolation
+    (see _windowed_interp); None falls back to the generic per-point
+    ``_bilinear`` gathers (identical values up to f32 product ordering).
+    """
     N, P = floes.sub_x.shape
     act = floes.active
 
@@ -117,13 +196,27 @@ def calc_one_way_coupling(
     npoints = jnp.sum(pmask, axis=1)
     np_safe = jnp.maximum(npoints, 1)
 
-    stacked = jnp.stack(
-        [atmos.u, atmos.v, ocean.u, ocean.v, ocean.hflx_factor], axis=-1
-    )
-    vals = _bilinear(
-        stacked, px, py, grid, domain.ew_periodic, domain.ns_periodic
-    )  # [N, P, 5] - one set of gathers for all five fields
-    uatm, vatm, uocn, vocn, hflx = (vals[..., k] for k in range(5))
+    window_ovf = jnp.asarray(False)
+    if window is not None:
+        stacked_fw = jnp.stack(
+            [atmos.u, atmos.v, ocean.u, ocean.v, ocean.hflx_factor], axis=0
+        )
+        vals_fp, pt_ovf = _windowed_interp(
+            stacked_fw, px, py, floes.centroid, grid,
+            domain.ew_periodic, domain.ns_periodic, window,
+        )  # [N, 5, P] - one window gather + two MXU contractions
+        uatm, vatm, uocn, vocn, hflx = (
+            vals_fp[:, k, :] for k in range(5)
+        )
+        window_ovf = jnp.any(pt_ovf & pmask)
+    else:
+        stacked = jnp.stack(
+            [atmos.u, atmos.v, ocean.u, ocean.v, ocean.hflx_factor], axis=-1
+        )
+        vals = _bilinear(
+            stacked, px, py, grid, domain.ew_periodic, domain.ns_periodic
+        )  # [N, P, 5] - one set of gathers for all five fields
+        uatm, vatm, uocn, vocn, hflx = (vals[..., k] for k in range(5))
 
     # rigid-body point velocities
     xc = px - floes.centroid[:, 0:1]
@@ -201,6 +294,7 @@ def calc_one_way_coupling(
         pt_tau_x_ocn=tx_ocn,
         pt_tau_y_ocn=ty_ocn,
         pt_cell=cell,
+        window_ovf=window_ovf,
     )
 
 
@@ -655,11 +749,21 @@ def timestep_coupling(
             floes, grid, domain, ocean, atmos, consts, cell_cap
         )
         return floes, ocean, jnp.asarray(False)
-    ow = calc_one_way_coupling(floes, grid, domain, ocean, atmos, consts)
-    overflow = jnp.asarray(False)
+    # the interp node window reuses the two-way cell window's floe-coverage
+    # guarantee (cell_cap is sized to 2*ceil(1.5*rmax/dx)+3 at build and
+    # regrown with it); +1 node because W nodes bound W-1 cells.  Configs
+    # whose floes span a large fraction of the grid (huge cell_cap) keep
+    # the generic per-point gathers - the window would be the whole grid.
+    W = cell_cap + 1
+    ow = calc_one_way_coupling(
+        floes, grid, domain, ocean, atmos, consts,
+        window=W if W <= 32 else None,
+    )
+    overflow = ow.window_ovf
     if coupling_settings.two_way_coupling_on:
-        ocean, overflow = calc_two_way_coupling(
+        ocean, ovf2 = calc_two_way_coupling(
             ow, grid, domain, ocean, atmos, consts, floe_settings, dt,
             cell_cap, axis_name,
         )
+        overflow = overflow | ovf2
     return ow.floes, ocean, overflow

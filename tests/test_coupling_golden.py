@@ -243,3 +243,48 @@ def test_eulerian_rejects_two_way():
         cs = CouplingSettings(eulerian=True, two_way_coupling_on=True)
     assert cs.two_way_coupling_on is False
     assert any("one-way" in str(r.message) for r in rec)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_windowed_interp_matches_bilinear(periodic):
+    """The TPU fast-path windowed interpolation (per-floe node window +
+    MXU weight stencils) must be semantically identical to the generic
+    per-point _bilinear gathers: in f64 the only difference is product
+    ordering (~1e-15 rel), so a tight tolerance catches any base-index,
+    wrap, or clamp mistake.  Floes sit near the domain edge to exercise
+    the periodic wrap / non-periodic clamp of the padded grid."""
+    from subzero_tpu.core import initialize_floe_field
+
+    kind = BoundaryKind.PERIODIC if periodic else C
+    domain = make_domain(GRID, kind, kind, kind, kind, dtype=jnp.float64)
+    fs = FloeSettings(
+        min_floe_area=1e6, subfloe_point_generator=SubGridPointsGenerator(4e3)
+    )
+    floes = initialize_floe_field(
+        60, [0.6], domain, 0.25, 0.0, fs, rng=np.random.default_rng(11),
+        dtype=jnp.float64, shrink_frac=0.0,
+    )
+    # non-uniform smooth fields so interpolation values actually vary
+    gx = np.linspace(0, 2 * np.pi, GRID.Nx + 1)
+    gy = np.linspace(0, 2 * np.pi, GRID.Ny + 1)
+    uo = np.sin(gx)[:, None] * np.cos(gy)[None, :] + 0.3
+    vo = np.cos(2 * gx)[:, None] * np.sin(gy)[None, :]
+    ocean = make_ocean(GRID, u=jnp.asarray(uo), v=jnp.asarray(vo),
+                       temp=0.0, dtype=jnp.float64)
+    atmos = make_atmos(GRID, u=jnp.asarray(3.0 * vo), v=jnp.asarray(2.0 * uo),
+                       temp=-20.0, dtype=jnp.float64)
+    consts = _consts()
+    gen = calc_one_way_coupling(floes, GRID, domain, ocean, atmos, consts)
+    win = calc_one_way_coupling(floes, GRID, domain, ocean, atmos, consts,
+                                window=8)
+    assert not bool(win.window_ovf)
+    act = np.asarray(floes.active)
+    for f in ("fx_oa", "fy_oa", "trq_oa", "hflx_factor"):
+        a = np.asarray(getattr(gen.floes, f))[act]
+        b = np.asarray(getattr(win.floes, f))[act]
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-9, err_msg=f)
+    np.testing.assert_allclose(
+        np.asarray(gen.pt_tau_x_ocn)[np.asarray(gen.pt_mask)],
+        np.asarray(win.pt_tau_x_ocn)[np.asarray(win.pt_mask)],
+        rtol=1e-12, atol=1e-12,
+    )
