@@ -109,6 +109,29 @@ def _windowed_interp(
     pf = fields_fw[:, xs][:, :, ys]              # [F, GX+2W, GY+2W]
     PX, PY = pf.shape[1], pf.shape[2]
 
+    # TPU gathers are issue-rate bound, so the window fetch must be few
+    # LARGE gathers: dynamic slicing per floe is hopeless (an [F, W, W]
+    # 3-D dynamic_slice under vmap lowered to 20M per-element gathers;
+    # (1, W*F) contiguous runs under nested vmap were 10x worse still).
+    # Instead build a REGULAR tile table: tiles of T = S + W nodes at
+    # integer stride S = W//2, so every W-window with arbitrary base lies
+    # in exactly ONE tile (bxp in [tx*S, tx*S + S) => window ends before
+    # tx*S + T).  Table construction is static-index slicing (cheap, a
+    # few MB); each floe then fetches its whole [T, T, F] window
+    # neighborhood with ONE row gather.
+    S = max(W // 2, 1)
+    T = S + W
+    ntx = (PX - W) // S + 1
+    nty = (PY - W) // S + 1
+    pf2 = jnp.transpose(pf, (1, 2, 0))           # [PX, PY, F]
+    pf2 = jnp.pad(pf2, ((0, S), (0, S), (0, 0)))
+    x_take = jnp.arange(ntx)[:, None] * S + jnp.arange(T)[None, :]
+    y_take = jnp.arange(nty)[:, None] * S + jnp.arange(T)[None, :]
+    tiles = pf2[x_take][:, :, y_take]            # [ntx, T, nty, T, F]
+    tiles = jnp.transpose(tiles, (0, 2, 1, 3, 4)).reshape(
+        ntx * nty, T * T * F
+    )
+
     fcx = (centroid[:, 0] - grid.x0) / grid.dx
     fcy = (centroid[:, 1] - grid.y0) / grid.dy
     bx0 = jnp.floor(fcx).astype(jnp.int32) - (W // 2 - 1)
@@ -116,11 +139,13 @@ def _windowed_interp(
     # clamp into the padded array (inactive floes may hold garbage)
     bxp = jnp.clip(bx0 + W, 0, PX - W)
     byp = jnp.clip(by0 + W, 0, PY - W)
-    win = jax.vmap(
-        lambda bx, by: jax.lax.dynamic_slice(
-            pf, (jnp.zeros((), bx.dtype), bx, by), (F, W, W)
-        )
-    )(bxp, byp)                                  # [N, F, W, W]
+    tx = bxp // S
+    ty = byp // S
+    win = tiles[tx * nty + ty].reshape(
+        centroid.shape[0], T, T * F
+    )                                            # one row gather per floe
+    dx0 = bxp - tx * S                           # window base within tile
+    dy0 = byp - ty * S
 
     fx = (px - grid.x0) / grid.dx
     fy = (py - grid.y0) / grid.dy
@@ -128,23 +153,32 @@ def _windowed_interp(
     iy = jnp.floor(fy)
     wx = (fx - ix).astype(dtype)
     wy = (fy - iy).astype(dtype)
-    lx = ix.astype(jnp.int32) - (bxp - W)[:, None]   # window-local node
+    # node index local to the W-window (coverage check), then shifted to
+    # TILE-local coordinates for the stencil contraction
+    lx = ix.astype(jnp.int32) - (bxp - W)[:, None]
     ly = iy.astype(jnp.int32) - (byp - W)[:, None]
     ovf = (lx < 0) | (lx > W - 2) | (ly < 0) | (ly > W - 2)
-    lx = jnp.clip(lx, 0, W - 2)
-    ly = jnp.clip(ly, 0, W - 2)
-    ar = jnp.arange(W, dtype=jnp.int32)
+    lx = jnp.clip(lx, 0, W - 2) + dx0[:, None]
+    ly = jnp.clip(ly, 0, W - 2) + dy0[:, None]
+    ar = jnp.arange(T, dtype=jnp.int32)
     ex0 = ar[None, :, None] == lx[:, None, :]
     ex1 = ar[None, :, None] == (lx + 1)[:, None, :]
     ax = (
         ex0 * (1 - wx)[:, None, :] + ex1 * wx[:, None, :]
-    )                                            # [N, W, P] weight stencil
+    )                                            # [N, T, P] weight stencil
     ey0 = ar[None, :, None] == ly[:, None, :]
     ey1 = ar[None, :, None] == (ly + 1)[:, None, :]
     ay = ey0 * (1 - wy)[:, None, :] + ey1 * wy[:, None, :]
-    hi = jax.lax.Precision.HIGHEST
-    t1 = jnp.einsum("nxp,nfxy->nfyp", ax, win, precision=hi)
-    vals = jnp.einsum("nyp,nfyp->nfp", ay, t1, precision=hi)
+    # x-contraction on the MXU with the P axis minor throughout ([N,TF,P]
+    # then [N,F,P] - minor dims of T or F would pad to 128-lane tiles),
+    # then the y-contraction as an elementwise reduce over the T axis
+    t1 = jax.lax.dot_general(
+        win, ax, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=win.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                            # [N, T*F, P]
+    t1 = t1.reshape(t1.shape[0], T, F, t1.shape[-1])
+    vals = jnp.sum(t1 * ay[:, :, None, :], axis=1)   # [N, F, P]
     return vals, ovf
 
 
@@ -551,21 +585,26 @@ def calc_two_way_coupling(
     # f32 contraction exact (TPU matmuls default to a lossy bf16 pass).
     dtypef = one_way.pt_x.dtype
     ar = jnp.arange(cell_cap, dtype=jnp.int32)
-    ohx = ((kx[:, :, None] == ar) & wmask[:, :, None]).astype(dtypef)
-    ohy = (ky[:, :, None] == ar).astype(dtypef)  # [N, P, cap]
+    # one-hots laid out [N, cap, P] with the long P axis minor: the former
+    # [N, P, cap] layout put the 15-wide cap axis in the lane dimension,
+    # padding every tile to 128 lanes (~8.5x HBM traffic on each operand)
+    ohx = (
+        (kx[:, None, :] == ar[None, :, None]) & wmask[:, None, :]
+    ).astype(dtypef)                             # [N, cap, P]
+    ohy = (ky[:, None, :] == ar[None, :, None]).astype(dtypef)
     payload = jnp.stack(
         [
             -one_way.pt_tau_x_ocn,
             -one_way.pt_tau_y_ocn,
             jnp.ones_like(one_way.pt_x),
         ],
-        axis=-1,
-    )  # [N, P, 3]; masked points drop out through the ohx zero rows
-    z = (ohy[:, :, :, None] * payload[:, :, None, :]).reshape(
-        N, P, cell_cap * 3
+        axis=1,
+    )  # [N, 3, P]; masked points drop out through the ohx zero rows
+    z = (ohy[:, :, None, :] * payload[:, None, :, :]).reshape(
+        N, cell_cap * 3, P
     )
     sums = jax.lax.dot_general(
-        ohx, z, (((1,), (1,)), ((0,), (0,))),
+        ohx, z, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=dtypef,
         precision=jax.lax.Precision.HIGHEST,
     )  # [N, cap, cap*3]
@@ -592,18 +631,22 @@ def calc_two_way_coupling(
         axis=-1,
     )  # [N, cap, cap, 3]
     dtypef = cell_pay.dtype
+    # grid one-hots and the step-1 output keep the long grid axis minor
+    # ([N, cap, NCx] / [N, cap*3, NCx]): the former [N, NCx, cap] layout
+    # padded the cap-wide minor to 128 lanes (2.3 GB of one-hot at N=16k)
     gx = jnp.arange(NCx, dtype=jnp.int32)
-    A = (wxs[:, None, :] == gx[None, :, None]).astype(dtypef)  # [N, NCx, cap]
+    A = (wxs[:, :, None] == gx[None, None, :]).astype(dtypef)  # [N, cap, NCx]
     step1 = jax.lax.dot_general(
-        A, cell_pay.reshape(N, cell_cap, cell_cap * 3),
-        (((2,), (1,)), ((0,), (0,))),
+        cell_pay.reshape(N, cell_cap, cell_cap * 3), A,
+        (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=dtypef,
         precision=jax.lax.Precision.HIGH,
-    ).reshape(N, NCx, cell_cap, 3)
+    )  # [N, cap*3, NCx]
     gy = jnp.arange(NCy, dtype=jnp.int32)
-    B = (wys[:, None, :] == gy[None, :, None]).astype(dtypef)  # [N, NCy, cap]
+    B = (wys[:, :, None] == gy[None, None, :]).astype(dtypef)  # [N, cap, NCy]
     cell_sums = jnp.einsum(
-        "ngbf,nhb->ghf", step1, B, precision=jax.lax.Precision.HIGH,
+        "ncfg,nch->ghf", step1.reshape(N, cell_cap, 3, NCx), B,
+        precision=jax.lax.Precision.HIGH,
         preferred_element_type=dtypef,
     ).reshape(C, 3)
 

@@ -379,7 +379,15 @@ def split_floe(hf: HostFloes, i, rng, frac_settings, fs: FloeSettings, dt):
     cells = voronoi_cells_in_box(seeds, lo, lo + scale)
     pieces = []
     for cell in cells:
-        pieces.extend(host_clip.intersect(ring, cell))
+        try:
+            pieces.extend(host_clip.intersect(ring, cell))
+        except RuntimeError as e:
+            # unresolvable clip degeneracy (every perturbation retry
+            # failed): drop this Voronoi cell rather than kill the run -
+            # mass stays conserved because the parent's mass is split
+            # proportionally over the pieces that DID resolve (same
+            # skip-and-warn policy as the ridge/raft overlap removal)
+            warnings.warn(f"fracture piece clip skipped: {e}")
     areas = [poly_area_np(p) for p in pieces]
     total = sum(areas)
     if total <= 0:
